@@ -1,0 +1,95 @@
+"""EditLine2 — the sketch-edit pipeline (netM + netG + composite).
+
+Behavioral reference: EditLine2Model (/root/reference/models/
+editline2_model.py). Inference semantics (generate_fake :338-370 at
+eval + forward 'inference' :128-133):
+
+    soft_mask, mask_image = netM(image, sketch)
+    hard_mask  = (soft_mask > 0.5)                 # fed to netG
+    coarse, fake = netG(image, image, hard_mask, hard_mask, sketch)
+    composed = fake * soft_mask + image * (1 - soft_mask)   # SOFT blend
+
+The training-time 3-way branch (random-mask inpainting / soft mask /
+thresholded mask) lives in train/trainer.py where the branch index comes
+from an explicit PRNG key instead of Python random state.
+
+TPU-first: `edit()` is a single pure function — one jit, one device
+invocation per (shape, dtype) — returning (composed, soft_mask, aux).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sketchedit_tpu.models import md_generator, deepfill_c2
+from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+
+
+@dataclass(frozen=True)
+class EditLine2Config:
+    netg: DeepFillConfig = field(default_factory=DeepFillConfig)
+    mask_threshold: float = 0.5
+    precision: str | None = "highest"   # None => backend default (bf16-ish)
+    compute_dtype: str = "float32"      # 'float32' | 'bfloat16'
+
+    @property
+    def lax_precision(self):
+        return None if self.precision is None else jax.lax.Precision(
+            self.precision.lower())
+
+
+def init_params(key, *, init_type: str = "xavier", gain: float = 0.02,
+                dtype=jnp.float32):
+    km, kg = jax.random.split(key)
+    return {
+        "M": md_generator.init_params(km, init_type=init_type, gain=gain,
+                                      dtype=dtype),
+        "G": deepfill_c2.init_params(kg, init_type=init_type, gain=gain,
+                                     dtype=dtype),
+    }
+
+
+def generate(params, image, sketch, *, config: EditLine2Config = EditLine2Config()):
+    """Full eval-mode generate_fake: returns all intermediates."""
+    prec = config.lax_precision
+    dt = jnp.dtype(config.compute_dtype)
+    image = image.astype(dt)
+    sketch = sketch.astype(dt)
+
+    soft_mask, mask_image = md_generator.apply(
+        params["M"], image, sketch, precision=prec)
+    hard_mask = jax.lax.stop_gradient(
+        (soft_mask > config.mask_threshold).astype(dt))
+    coarse, fake = deepfill_c2.apply(
+        params["G"], image, image, hard_mask, hard_mask, sketch,
+        config=config.netg, precision=prec)
+    return {
+        "coarse": coarse,
+        "fake": fake,
+        "mask": soft_mask,
+        "mask_image": mask_image,
+        "mask_inpaint": hard_mask,
+    }
+
+
+def edit(params, image, sketch, *, config: EditLine2Config = EditLine2Config()):
+    """The public edit function: (image, sketch) -> (composed, soft_mask).
+
+    image: (B, H, W, 3) in [-1, 1]; sketch: (B, H, W, 1) in {0, 1}.
+    H and W must be multiples of 4 (two stride-2 downsamples).
+    """
+    out = generate(params, image, sketch, config=config)
+    soft = out["mask"]
+    composed = out["fake"] * soft + image.astype(soft.dtype) * (1.0 - soft)
+    return composed, soft
+
+
+def make_edit_fn(params, *, config: EditLine2Config = EditLine2Config(),
+                 donate: bool = False):
+    """jit-compiled closure over params; one compile per input shape."""
+    fn = partial(edit, config=config)
+    return jax.jit(fn, donate_argnums=(1,) if donate else ())

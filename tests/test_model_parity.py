@@ -1,0 +1,122 @@
+"""Full-network parity: our JAX nets vs the actual reference torch modules,
+sharing weights through the torch->JAX converter.
+
+The reference checkpoints aren't bundled, so the oracle is the reference
+*code* run with seeded random weights — exactly what converted released
+checkpoints would exercise, minus the specific values.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sketchedit_tpu.models import md_generator, deepfill_c2, editline2
+from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+from sketchedit_tpu.models.editline2 import EditLine2Config
+from sketchedit_tpu.params.torch_convert import (
+    state_dict_to_params, params_to_state_dict)
+from torch_oracle import add_reference_to_path, reference_opt, to_nchw, to_nhwc
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+def _seed_torch_net(net, seed):
+    g = torch.Generator().manual_seed(seed)
+    state = net.state_dict()
+    for k in state:
+        state[k] = torch.randn(state[k].shape, generator=g) * 0.05
+    net.load_state_dict(state)
+    return net
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    add_reference_to_path()
+    from models.networks.editline2_g import MDGenerator
+    from models.networks.editline_g import DeepFillC2Generator
+    opt = reference_opt()
+    netM = _seed_torch_net(MDGenerator(opt), 0).eval()
+    netG = _seed_torch_net(DeepFillC2Generator(opt), 1).eval()
+    return netM, netG
+
+
+def test_md_generator_parity(reference_modules):
+    netM, _ = reference_modules
+    params = state_dict_to_params(netM.state_dict())
+
+    rs = np.random.RandomState(0)
+    img = rs.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    sketch = (rs.rand(1, 64, 64, 1) > 0.9).astype(np.float32)
+
+    mask_j, mim_j = md_generator.apply(
+        params, jnp.asarray(img), jnp.asarray(sketch), precision=HIGH)
+    with torch.no_grad():
+        mask_t, mim_t = netM(to_nchw(img), to_nchw(sketch))
+    np.testing.assert_allclose(np.asarray(mask_j), to_nhwc(mask_t),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mim_j), to_nhwc(mim_t),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_deepfill_parity(reference_modules):
+    _, netG = reference_modules
+    params = state_dict_to_params(netG.state_dict())
+
+    rs = np.random.RandomState(1)
+    img = rs.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    sketch = (rs.rand(1, 64, 64, 1) > 0.9).astype(np.float32)
+    mask = np.zeros((1, 64, 64, 1), np.float32)
+    mask[:, 16:48, 16:48] = 1.0
+
+    s1_j, s2_j = deepfill_c2.apply(
+        params, jnp.asarray(img), jnp.asarray(img), jnp.asarray(mask),
+        jnp.asarray(mask), jnp.asarray(sketch),
+        config=DeepFillConfig(), precision=HIGH)
+    with torch.no_grad():
+        s1_t, s2_t = netG(to_nchw(img), to_nchw(img), to_nchw(mask),
+                          to_nchw(mask), to_nchw(sketch))
+    np.testing.assert_allclose(np.asarray(s1_j), to_nhwc(s1_t),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2_j), to_nhwc(s2_t),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_full_pipeline_parity(reference_modules):
+    """edit() vs the reference eval-mode generate_fake + soft composite
+    (editline2_model.py:128-133, 338-370)."""
+    netM, netG = reference_modules
+    params = {"M": state_dict_to_params(netM.state_dict()),
+              "G": state_dict_to_params(netG.state_dict())}
+
+    rs = np.random.RandomState(2)
+    img = rs.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    sketch = (rs.rand(1, 64, 64, 1) > 0.9).astype(np.float32)
+
+    composed_j, mask_j = editline2.edit(
+        params, jnp.asarray(img), jnp.asarray(sketch),
+        config=EditLine2Config())
+
+    with torch.no_grad():
+        it, st = to_nchw(img), to_nchw(sketch)
+        mask_t, _ = netM(it, st)
+        hard = (mask_t > 0.5).float()
+        _, fake_t = netG(it, it, hard, hard, st)
+        composed_t = fake_t * mask_t + it * (1 - mask_t)
+
+    np.testing.assert_allclose(np.asarray(mask_j), to_nhwc(mask_t),
+                               rtol=1e-4, atol=1e-5)
+    l1 = float(np.abs(np.asarray(composed_j) - to_nhwc(composed_t)).mean())
+    assert l1 < 1e-3, f"composed L1 {l1} exceeds parity budget"
+    np.testing.assert_allclose(np.asarray(composed_j), to_nhwc(composed_t),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_converter_roundtrip(reference_modules):
+    netM, _ = reference_modules
+    params = state_dict_to_params(netM.state_dict())
+    back = params_to_state_dict(params)
+    for k, v in netM.state_dict().items():
+        np.testing.assert_array_equal(back[k], v.numpy())
