@@ -1,0 +1,78 @@
+"""Benchmark: steady-state edit throughput at batch 32, 256x256.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference repo publishes no benchmark numbers
+(BASELINE.md). The north star is >=10x the reference's GPU throughput at
+batch 32 / 256^2. We take 15 images/sec as the estimated reference
+single-GPU throughput for this 7.5M-param, 76-conv + quadratic-attention
+model (DeepFill-family models measure in the tens of images/sec on V100 at
+256^2), so the 10x target corresponds to vs_baseline >= 10.0 with
+BASELINE_IMAGES_PER_SEC = 15.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_IMAGES_PER_SEC = 15.0
+
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
+SIZE = int(os.environ.get("BENCH_SIZE", 256))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+ATTENTION = os.environ.get("BENCH_ATTENTION", "xla")
+WARMUP = 3
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from sketchedit_tpu.runner import enable_persistent_cache
+    from sketchedit_tpu.models import editline2
+    from sketchedit_tpu.models.editline2 import EditLine2Config
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+
+    enable_persistent_cache()
+
+    config = EditLine2Config(
+        netg=DeepFillConfig(attention_impl=ATTENTION),
+        precision=None,          # backend-default precision (bf16 MXU passes)
+        compute_dtype=DTYPE,
+    )
+    params = editline2.init_params(jax.random.PRNGKey(0))
+
+    rs = np.random.RandomState(0)
+    image = jax.numpy.asarray(
+        rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
+    sketch = jax.numpy.asarray(
+        (rs.rand(BATCH, SIZE, SIZE, 1) > 0.95).astype(np.float32))
+
+    fn = jax.jit(lambda p, i, s: editline2.edit(p, i, s, config=config))
+
+    for _ in range(WARMUP):
+        composed, mask = fn(params, image, sketch)
+    jax.block_until_ready((composed, mask))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        composed, mask = fn(params, image, sketch)
+    jax.block_until_ready((composed, mask))
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": f"images/sec/chip, {SIZE}x{SIZE} edit, batch {BATCH}, "
+                  f"{DTYPE}, attention={ATTENTION}",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Image preprocessing with the reference's preprocess-mode vocabulary.
+
+Mirrors data/base_dataset.py:22-86: modes resize_and_crop, crop,
+scale_width(_and_crop), scale_shortside(_and_crop), fixed, none (-> round to
+multiple of 32). Randomness (crop position, flip) comes from an explicit
+numpy Generator instead of global random state, so host-side augmentation is
+reproducible and per-sample seedable — the JAX-style answer to the
+reference's shared-seed trick for paired transforms (apply the same
+TransformParams to image and sketch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from PIL import Image
+
+
+@dataclass
+class TransformParams:
+    crop_pos: tuple[int, int]
+    flip: bool
+    new_size: tuple[int, int]       # (w, h) after the resize stage
+
+
+def get_params(opt, size, rng: np.random.Generator | None = None):
+    w, h = size
+    new_w, new_h = w, h
+    mode = opt.preprocess_mode
+    if mode == 'resize_and_crop':
+        new_w = new_h = opt.load_size
+    elif mode == 'scale_width_and_crop':
+        new_w = opt.load_size
+        new_h = opt.load_size * h // w
+    elif mode == 'scale_shortside_and_crop':
+        ss, ls = min(w, h), max(w, h)
+        ls = int(opt.load_size * ls / ss)
+        new_w, new_h = (ss, ls) if w == ss else (ls, ss)
+
+    rng = rng or np.random.default_rng()
+    x = int(rng.integers(0, max(1, new_w - opt.crop_size)))
+    y = int(rng.integers(0, max(1, new_h - opt.crop_size)))
+    flip = bool(rng.random() > 0.5)
+    return TransformParams((x, y), flip, (new_w, new_h))
+
+
+def _scale_width(img, target, method):
+    ow, oh = img.size
+    if ow == target:
+        return img
+    return img.resize((target, int(target * oh / ow)), method)
+
+
+def _scale_shortside(img, target, method):
+    ow, oh = img.size
+    ss, ls = min(ow, oh), max(ow, oh)
+    if ss == target:
+        return img
+    ls = int(target * ls / ss)
+    nw, nh = (ss, ls) if ow == ss else (ls, ss)
+    return img.resize((nw, nh), method)
+
+
+def apply_transform(opt, img: Image.Image, params: TransformParams, *,
+                    method=Image.BICUBIC, is_train: bool | None = None):
+    mode = opt.preprocess_mode
+    if 'resize' in mode:
+        img = img.resize((opt.load_size, opt.load_size), method)
+    elif 'scale_width' in mode:
+        img = _scale_width(img, opt.load_size, method)
+    elif 'scale_shortside' in mode:
+        img = _scale_shortside(img, opt.load_size, method)
+
+    if 'crop' in mode:
+        x, y = params.crop_pos
+        img = img.crop((x, y, x + opt.crop_size, y + opt.crop_size))
+
+    if mode == 'none':
+        base = 32
+        ow, oh = img.size
+        w, h = int(round(ow / base) * base), int(round(oh / base) * base)
+        if (w, h) != (ow, oh):
+            img = img.resize((w, h), method)
+
+    if mode == 'fixed':
+        w = opt.crop_size
+        h = round(opt.crop_size / opt.aspect_ratio)
+        img = img.resize((w, h), method)
+
+    is_train = opt.isTrain if is_train is None else is_train
+    if is_train and not getattr(opt, 'no_flip', True) and params.flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    return img
+
+
+def image_to_array(img: Image.Image, normalize: bool = True) -> np.ndarray:
+    """PIL -> float32 HWC array; normalize maps [0,255] -> [-1,1]
+    (ToTensor + Normalize(0.5, 0.5))."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if normalize:
+        arr = (arr - 0.5) / 0.5
+    return arr
+
+
+def binarize_sketch(img: Image.Image, size_wh=None) -> np.ndarray:
+    """Grayscale sketch -> {0,1} float32 HW1, resized to the image's size
+    first (testimage_dataset.py:99-103)."""
+    if size_wh is not None and img.size != size_wh:
+        img = img.resize(size_wh)
+    arr = np.asarray(img.convert("L"), dtype=np.float32)
+    return (arr > 0).astype(np.float32)[:, :, None]

@@ -1,0 +1,66 @@
+"""Training options.
+
+The reference snapshot ships no train_options.py ("training code coming
+soon", README.md:75-76) but its model code references these flags at its
+call sites (editline2_model.py, SURVEY.md §2.8-2.9); this registers the
+full set so the greenfield training stack (train/) is configurable the way
+the reference intended.
+"""
+
+from sketchedit_tpu.options.base_options import BaseOptions
+
+
+class TrainOptions(BaseOptions):
+    isTrain = True
+
+    def initialize(self, parser):
+        parser = BaseOptions.initialize(self, parser)
+        # schedule
+        parser.add_argument('--niter', type=int, default=50,
+                            help='epochs at full lr')
+        parser.add_argument('--niter_decay', type=int, default=0,
+                            help='epochs with linearly decaying lr')
+        parser.add_argument('--continue_train', action='store_true')
+        parser.add_argument('--which_epoch', type=str, default='latest')
+        # optimizer (TTUR pair per editline2_model.py:164-172)
+        parser.add_argument('--lr', type=float, default=0.0002)
+        parser.add_argument('--beta1', type=float, default=0.0)
+        parser.add_argument('--beta2', type=float, default=0.9)
+        parser.add_argument('--no_TTUR', action='store_true')
+        # losses (g_image_loss, editline2_model.py:244-301)
+        parser.add_argument('--gan_mode', type=str, default='hinge',
+                            choices=('hinge', 'ls', 'original', 'w'))
+        parser.add_argument('--lambda_l1', type=float, default=1.0)
+        parser.add_argument('--lambda_l1_mask', type=float, default=1.0)
+        parser.add_argument('--lambda_vgg', type=float, default=10.0)
+        parser.add_argument('--no_gan_loss', action='store_true')
+        parser.add_argument('--no_vgg_loss', action='store_true')
+        parser.add_argument('--no_ganFeat_loss', action='store_true',
+                            default=True)
+        parser.add_argument('--filt_maskim', action='store_true')
+        parser.add_argument('--no_detach', action='store_true')
+        # partial updates (get_param_list groups)
+        parser.add_argument('--update_part', type=str, default='all')
+        parser.add_argument('--load_pretrained_mask', type=str)
+        parser.add_argument('--load_pretrained_g', type=str)
+        parser.add_argument('--load_pretrained_d', type=str)
+        # discriminator
+        parser.add_argument('--netD', type=str, default='sngan')
+        parser.add_argument('--ndf', type=int, default=64)
+        # synthetic masks (MaskCreator, create_mask.py + editline2_model.py:206-221)
+        parser.add_argument('--path_objectshape_list', type=str)
+        parser.add_argument('--path_objectshape_base', type=str)
+        parser.add_argument('--not_om', action='store_true',
+                            help='never use object masks')
+        # data aug
+        parser.add_argument('--cjit', type=float, default=None,
+                            help='color-jitter strength')
+        parser.add_argument('--dataset_mode_train', type=str)
+        parser.add_argument('--dataset_mode_val', type=str)
+        # bookkeeping (IterationCounter)
+        parser.add_argument('--save_epoch_freq', type=int, default=10)
+        parser.add_argument('--save_latest_freq', type=int, default=5000)
+        parser.add_argument('--print_freq', type=int, default=100)
+        parser.add_argument('--display_freq', type=int, default=100)
+        parser.set_defaults(phase='train')
+        return parser

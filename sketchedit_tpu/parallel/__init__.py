@@ -1,0 +1,5 @@
+from sketchedit_tpu.parallel.mesh import (
+    data_parallel_mesh,
+    shard_batch,
+    replicate,
+)

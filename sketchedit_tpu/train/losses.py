@@ -1,0 +1,102 @@
+"""Training losses.
+
+GANLoss / VGGLoss are *referenced but absent* in the reference snapshot
+(editline2_model.py:97-101; SURVEY.md §2.9) — these are greenfield
+implementations with the standard SPADE/DeepFill semantics the call sites
+expect: gan_mode in {hinge, ls, original, w}, a VGG19 perceptual loss with
+the usual 1/32..1 layer weights, and plain L1.
+
+VGG weights cannot be downloaded in this environment; VGGLoss loads a
+converted feature-extractor checkpoint from SKETCHEDIT_VGG_WEIGHTS (.npz of
+conv HWIO weights) and the trainer gates the term off when unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from sketchedit_tpu.ops.gated_conv import conv2d
+
+
+def l1_loss(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+def gan_loss(pred, target_is_real: bool, *, mode: str = "hinge",
+             for_discriminator: bool = True):
+    """Standard adversarial objectives on patch logits."""
+    if mode == "hinge":
+        if for_discriminator:
+            if target_is_real:
+                return jnp.mean(jax.nn.relu(1.0 - pred))
+            return jnp.mean(jax.nn.relu(1.0 + pred))
+        assert target_is_real, "generator hinge loss uses fake preds as real"
+        return -jnp.mean(pred)
+    if mode == "ls":
+        target = 1.0 if target_is_real else 0.0
+        return jnp.mean((pred - target) ** 2)
+    if mode == "original":
+        target = 1.0 if target_is_real else 0.0
+        return jnp.mean(
+            jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred))))
+    if mode == "w":
+        return -jnp.mean(pred) if target_is_real else jnp.mean(pred)
+    raise ValueError(f"unknown gan_mode {mode!r}")
+
+
+# --- VGG19 perceptual loss ------------------------------------------------
+
+_VGG_SLICES = (2, 7, 12, 21, 30)       # relu1_2, relu2_2, relu3_2, relu4_2, relu5_2
+_VGG_WEIGHTS = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)
+_VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+            512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+def load_vgg_params(path: str | None = None):
+    """Load VGG19 conv weights from an .npz of {'conv_i_w','conv_i_b'}."""
+    path = path or os.environ.get("SKETCHEDIT_VGG_WEIGHTS")
+    if not path or not os.path.exists(path):
+        return None
+    import numpy as np
+    with np.load(path) as data:
+        params = []
+        i = 0
+        while f"conv_{i}_w" in data:
+            params.append({"w": jnp.asarray(data[f"conv_{i}_w"]),
+                           "b": jnp.asarray(data[f"conv_{i}_b"])})
+            i += 1
+    return params
+
+
+def vgg_features(params, x):
+    """x in [-1,1] NHWC -> list of feature maps at the 5 standard slices."""
+    mean = jnp.asarray([0.485, 0.456, 0.406])
+    std = jnp.asarray([0.229, 0.224, 0.225])
+    h = ((x + 1.0) / 2.0 - mean) / std
+    feats = []
+    layer_idx = 0        # torchvision .features index
+    conv_i = 0
+    for c in _VGG_CFG:
+        if c == "M":
+            h = -jax.lax.reduce_window(-h, -jnp.inf, jax.lax.max,
+                                       (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            layer_idx += 1
+        else:
+            h = conv2d(params[conv_i], h)
+            conv_i += 1
+            layer_idx += 1
+            h = jax.nn.relu(h)
+            layer_idx += 1
+        if layer_idx in _VGG_SLICES:
+            feats.append(h)
+    return feats
+
+
+def vgg_loss(vgg_params, x, y):
+    fx = vgg_features(vgg_params, x)
+    fy = vgg_features(vgg_params, jax.lax.stop_gradient(y))
+    return sum(w * l1_loss(a, jax.lax.stop_gradient(b))
+               for w, a, b in zip(_VGG_WEIGHTS, fx, fy))

@@ -1,0 +1,303 @@
+"""Training step for the EditLine2 pipeline (greenfield, reference-shaped).
+
+The reference snapshot ships no train loop, but its model code defines the
+intended semantics (editline2_model.py): a 3-way random branch in
+generate_fake (:338-370), the g_image_loss stack (:244-301), concat-batch
+discrimination (:375-406), TTUR Adam (:149-173), and partial updates via
+get_param_list groups. This module realizes them TPU-first:
+
+* the whole G-step + D-step is ONE jitted function; the random branch index
+  comes from an explicit PRNG key through `lax.switch` (static shapes, no
+  Python branching on traced values);
+* random masks are host-side inputs (data/mask_creator.py), two per batch
+  (`random_mask` for the inpainting branch, `random_mask2` for the rm2
+  context erosion);
+* gradients reduce across the data-parallel mesh automatically under jit
+  (XLA inserts the psum when the batch axis is sharded);
+* TTUR: optax.adam pairs at lr/2 (G) and lr*2 (D), betas (0, 0.9);
+* partial updates: static gradient masks from the param_groups tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sketchedit_tpu.models import md_generator, deepfill_c2, discriminator
+from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+from sketchedit_tpu.ops.image import gaussian_blur3x3
+from sketchedit_tpu.train import losses
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    netg: DeepFillConfig = field(default_factory=DeepFillConfig)
+    gan_mode: str = "hinge"
+    lambda_l1: float = 1.0
+    lambda_l1_mask: float = 1.0
+    lambda_vgg: float = 10.0
+    no_gan_loss: bool = False
+    no_vgg_loss: bool = True          # enable when VGG weights are provided
+    filt_maskim: bool = False
+    no_detach: bool = False
+    update_part: str = "all"
+    lr: float = 2e-4
+    beta1: float = 0.0
+    beta2: float = 0.9
+    no_TTUR: bool = False
+    mask_threshold: float = 0.5
+    precision: str | None = None
+    # Fresh-training init. The reference default (xavier gain 0.02,
+    # base_options.py:56-57) yields ~6e-4-std weights that underflow
+    # gradients through this norm-free 17-layer stack; kaiming keeps signal
+    # scale healthy. 'xavier' remains available for strict compat.
+    init_type: str = "kaiming"
+
+    @property
+    def lax_precision(self):
+        return None if self.precision is None else jax.lax.Precision(
+            self.precision)
+
+    @property
+    def train_mask_only(self) -> bool:
+        """True when update_part selects no generator params
+        (editline2_model.py:153-155)."""
+        return not deepfill_c2.param_groups(
+            {n: 0 for n, *_ in deepfill_c2.LAYER_SPECS}, self.update_part)
+
+    @property
+    def train_maskim(self) -> bool:
+        return self.update_part == "maskim"
+
+    def g_lr(self):
+        return self.lr if self.no_TTUR else self.lr / 2
+
+    def d_lr(self):
+        return self.lr if self.no_TTUR else self.lr * 2
+
+
+def _grad_mask(cfg: TrainConfig, params):
+    """Static 0/1 pytree selecting trainable leaves per update_part."""
+    m_names = set(md_generator.param_groups(params["M"], cfg.update_part))
+    g_names = set(deepfill_c2.param_groups(params["G"], cfg.update_part))
+
+    def mask_net(net, names):
+        return {k: jax.tree_util.tree_map(
+            lambda _: 1.0 if k in names else 0.0, v)
+            for k, v in net.items()}
+
+    return {"M": mask_net(params["M"], m_names),
+            "G": mask_net(params["G"], g_names)}
+
+
+def init_train_state(key, cfg: TrainConfig, dtype=jnp.float32):
+    km, kg, kd = jax.random.split(key, 3)
+    params = {
+        "M": md_generator.init_params(km, init_type=cfg.init_type,
+                                      dtype=dtype),
+        "G": deepfill_c2.init_params(kg, init_type=cfg.init_type,
+                                     dtype=dtype),
+        "D": discriminator.init_params(kd, dtype=dtype),
+    }
+    gen_params = {"M": params["M"], "G": params["G"]}
+    opt_g = optax.adam(cfg.g_lr(), b1=cfg.beta1, b2=cfg.beta2)
+    opt_d = optax.adam(cfg.d_lr(), b1=cfg.beta1, b2=cfg.beta2)
+    return {
+        "params": params,
+        "opt_g": opt_g.init(gen_params),
+        "opt_d": opt_d.init({k: {"w": v["w"], "b": v["b"]}
+                             for k, v in params["D"].items()}),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def generate_fake_train(gen_params, batch, flag, cfg: TrainConfig):
+    """Train-mode generate_fake (editline2_model.py:338-370).
+
+    flag 0: pure inpainting — random mask, full edge map, gt as input0.
+    flag 1: soft predicted mask (detached unless no_detach).
+    flag 2: thresholded predicted mask.
+    """
+    prec = cfg.lax_precision
+    inputs, real = batch["image"], batch["gt"]
+    line, line_full = batch["mask"], batch["edgegt"]
+
+    soft_mask, mask_image = md_generator.apply(
+        gen_params["M"], inputs, line, precision=prec)
+
+    def branch_inpaint(_):
+        m = batch["random_mask"]
+        return m, line_full * m, real
+
+    def branch_soft(_):
+        m = soft_mask if cfg.no_detach else jax.lax.stop_gradient(soft_mask)
+        return m, line, inputs
+
+    def branch_hard(_):
+        m = jax.lax.stop_gradient(
+            (soft_mask > cfg.mask_threshold).astype(soft_mask.dtype))
+        return m, line, inputs
+
+    mask_inpaint, line_inpaint, inputs0 = jax.lax.switch(
+        flag, (branch_inpaint, branch_soft, branch_hard), None)
+
+    rm2 = (1.0 - batch["random_mask2"]) * mask_inpaint
+
+    coarse, fake = deepfill_c2.apply(
+        gen_params["G"], inputs0, inputs, mask_inpaint, rm2, line_inpaint,
+        config=cfg.netg, precision=prec)
+    return {
+        "coarse": coarse, "fake": fake, "mask": soft_mask,
+        "mask_image": mask_image, "mask_inpaint": mask_inpaint,
+        "line_inpaint": line_inpaint, "input_inpaint": inputs0,
+    }
+
+
+def _discriminate(d_params, fake_image, real_image, line, inputs, mask,
+                  cfg: TrainConfig, update_sn=False):
+    """Concat-batch discrimination (editline2_model.py:375-390): fake is
+    composited over real with the detached mask, fake and real share one
+    batch, predictions split back."""
+    m = jax.lax.stop_gradient(mask)
+    fake_comp = fake_image * m + real_image * (1.0 - m)
+    both = jnp.concatenate([fake_comp, real_image], axis=0)
+    line2 = jnp.concatenate([line, line], axis=0)
+    cc2 = jnp.concatenate([inputs, inputs], axis=0)
+    out = discriminator.apply(d_params, both, line2, cc2,
+                              precision=cfg.lax_precision,
+                              update_sn=update_sn)
+    if update_sn:
+        logits, new_d = out
+    else:
+        logits, new_d = out, None
+    n = logits.shape[0] // 2
+    return logits[:n], logits[n:], new_d
+
+
+def g_image_loss(d_params, gen, batch, cfg: TrainConfig, vgg_params=None,
+                 is_real_im=True):
+    """The generator loss stack (editline2_model.py:244-301)."""
+    inputs, real = batch["image"], batch["gt"]
+    input_inpaint = gen["input_inpaint"]
+
+    blur = gaussian_blur3x3 if cfg.filt_maskim else (lambda x: x)
+    real_blur = blur(real)
+    inputs_blur = blur(inputs)
+    input_inpaint_blur = blur(input_inpaint)
+
+    out_ims = {"coarse": gen["coarse"], "fake": gen["fake"],
+               "mask": gen["mask_image"]}
+    in_ims = {"coarse": input_inpaint, "fake": input_inpaint,
+              "mask": inputs}
+    blur_in_ims = {"coarse": input_inpaint_blur, "fake": input_inpaint_blur,
+                   "mask": inputs_blur}
+    com_masks = {"coarse": gen["mask_inpaint"], "fake": gen["mask_inpaint"],
+                 "mask": gen["mask"]}
+    com_ims = {k: out_ims[k] * com_masks[k] + in_ims[k] * (1 - com_masks[k])
+               for k in out_ims}
+    blur_com_ims = {k: out_ims[k] * com_masks[k]
+                    + blur_in_ims[k] * (1 - com_masks[k]) for k in out_ims}
+
+    G = {}
+    if not cfg.train_mask_only and not cfg.no_gan_loss and is_real_im:
+        pred_fake, _pred_real, _ = _discriminate(
+            d_params, com_ims["fake"], real, gen["line_inpaint"], inputs,
+            gen["mask_inpaint"], cfg)
+        G["GAN"] = losses.gan_loss(pred_fake, True, mode=cfg.gan_mode,
+                                   for_discriminator=False)
+
+    if (not cfg.train_mask_only and not cfg.no_vgg_loss
+            and vgg_params is not None and is_real_im):
+        G["VGG"] = losses.vgg_loss(vgg_params, out_ims["fake"],
+                                   real) * cfg.lambda_vgg
+
+    l1c = 0.0
+    if not cfg.train_mask_only and is_real_im:
+        l1c = losses.l1_loss(out_ims["coarse"], real) * cfg.lambda_l1
+        if cfg.update_part in ("all", "fine"):
+            G["L1f"] = losses.l1_loss(out_ims["fake"], real) * cfg.lambda_l1
+    l1c = l1c + losses.l1_loss(out_ims["mask"], real_blur) * cfg.lambda_l1_mask
+    if not cfg.train_maskim:
+        l1c = l1c + (losses.l1_loss(blur_com_ims["mask"], real_blur)
+                     * cfg.lambda_l1_mask)
+    G["L1c"] = l1c
+    return G
+
+
+def d_loss_fn(d_params, gen_params, batch, flag, cfg: TrainConfig):
+    """Discriminator loss (editline2_model.py:318-336) + SN state update."""
+    gen = jax.lax.stop_gradient(
+        generate_fake_train(gen_params, batch, flag, cfg))
+    composed = (gen["fake"] * gen["mask_inpaint"]
+                + gen["input_inpaint"] * (1 - gen["mask_inpaint"]))
+    pred_fake, pred_real, new_d = _discriminate(
+        d_params, composed, batch["gt"], gen["line_inpaint"],
+        batch["image"], gen["mask_inpaint"], cfg, update_sn=True)
+    d_fake = losses.gan_loss(pred_fake, False, mode=cfg.gan_mode)
+    d_real = losses.gan_loss(pred_real, True, mode=cfg.gan_mode)
+    return d_fake + d_real, (d_fake, d_real, new_d)
+
+
+def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
+    """One jitted G+D step. batch keys: image, gt, mask (sketch), edgegt,
+    random_mask, random_mask2 — all NHWC float32."""
+    params = state["params"]
+    kflag, _ = jax.random.split(key)
+    low = 0 if cfg.netg.joint_train_inp else 1
+    flag = jax.random.randint(kflag, (), low, 3)
+
+    opt_g = optax.adam(cfg.g_lr(), b1=cfg.beta1, b2=cfg.beta2)
+    opt_d = optax.adam(cfg.d_lr(), b1=cfg.beta1, b2=cfg.beta2)
+
+    # ---- generator update ----
+    def g_total(gen_params):
+        gen = generate_fake_train(gen_params, batch, flag, cfg)
+        G = g_image_loss(params["D"], gen, batch, cfg, vgg_params)
+        return sum(G.values()), G
+
+    gen_params = {"M": params["M"], "G": params["G"]}
+    (g_sum, G_losses), g_grads = jax.value_and_grad(
+        g_total, has_aux=True)(gen_params)
+    gmask = _grad_mask(cfg, params)
+    g_grads = jax.tree_util.tree_map(
+        lambda g, m: g * m, g_grads, {"M": gmask["M"], "G": gmask["G"]})
+    g_updates, new_opt_g = opt_g.update(g_grads, state["opt_g"], gen_params)
+    gen_params = optax.apply_updates(gen_params, g_updates)
+    new_params = {**params, "M": gen_params["M"], "G": gen_params["G"]}
+
+    # ---- discriminator update ----
+    if cfg.no_gan_loss:
+        new_opt_d = state["opt_d"]
+        d_metrics = {}
+    else:
+        d_trainable = {k: {"w": v["w"], "b": v["b"]}
+                       for k, v in params["D"].items()}
+
+        def d_total(dt):
+            d_full = {k: {**dt[k], "u": params["D"][k]["u"]}
+                      for k in dt}
+            loss, aux = d_loss_fn(d_full, gen_params, batch, flag, cfg)
+            return loss, aux
+
+        (_d_sum, (d_fake, d_real, new_d)), d_grads = jax.value_and_grad(
+            d_total, has_aux=True)(d_trainable)
+        d_updates, new_opt_d = opt_d.update(d_grads, state["opt_d"],
+                                            d_trainable)
+        d_trainable = optax.apply_updates(d_trainable, d_updates)
+        new_params["D"] = {k: {**d_trainable[k], "u": new_d[k]["u"]}
+                           for k in d_trainable}
+        d_metrics = {"D_Fake": d_fake, "D_real": d_real}
+
+    new_state = {
+        "params": new_params,
+        "opt_g": new_opt_g,
+        "opt_d": new_opt_d,
+        "step": state["step"] + 1,
+    }
+    metrics = {"G_total": g_sum, **G_losses, **d_metrics,
+               "flag": flag.astype(jnp.float32)}
+    return new_state, metrics

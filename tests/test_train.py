@@ -1,0 +1,133 @@
+"""Training-stack tests: losses, discriminator, one jitted train step, and
+the multi-chip dry run over the virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sketchedit_tpu.models import discriminator
+from sketchedit_tpu.train import losses
+from sketchedit_tpu.train.trainer import (
+    TrainConfig, init_train_state, train_step, generate_fake_train)
+
+
+def _tiny_batch(B=2, H=32, seed=0):
+    rs = np.random.RandomState(seed)
+    return {
+        "image": rs.uniform(-1, 1, (B, H, H, 3)).astype(np.float32),
+        "gt": rs.uniform(-1, 1, (B, H, H, 3)).astype(np.float32),
+        "mask": (rs.rand(B, H, H, 1) > 0.9).astype(np.float32),
+        "edgegt": (rs.rand(B, H, H, 1) > 0.9).astype(np.float32),
+        "random_mask": (rs.rand(B, H, H, 1) > 0.7).astype(np.float32),
+        "random_mask2": (rs.rand(B, H, H, 1) > 0.7).astype(np.float32),
+    }
+
+
+def test_gan_loss_modes():
+    pred = jnp.asarray([[-2.0, 0.5, 3.0]])
+    # hinge D: relu(1-p) for real, relu(1+p) for fake
+    np.testing.assert_allclose(
+        float(losses.gan_loss(pred, True, mode="hinge")),
+        np.mean([3.0, 0.5, 0.0]))
+    np.testing.assert_allclose(
+        float(losses.gan_loss(pred, False, mode="hinge")),
+        np.mean([0.0, 1.5, 4.0]))
+    # hinge G: -mean(pred)
+    np.testing.assert_allclose(
+        float(losses.gan_loss(pred, True, mode="hinge",
+                              for_discriminator=False)),
+        -float(jnp.mean(pred)))
+    # ls
+    np.testing.assert_allclose(
+        float(losses.gan_loss(pred, True, mode="ls")),
+        float(jnp.mean((pred - 1) ** 2)))
+    # original == BCE with logits
+    import torch
+    import torch.nn.functional as F
+    t = torch.tensor([[-2.0, 0.5, 3.0]])
+    want = F.binary_cross_entropy_with_logits(t, torch.ones_like(t)).item()
+    np.testing.assert_allclose(
+        float(losses.gan_loss(pred, True, mode="original")), want, rtol=1e-5)
+
+
+def test_discriminator_shapes_and_sn():
+    params = discriminator.init_params(jax.random.PRNGKey(0))
+    B, H = 2, 64
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(B, H, H, 3).astype(np.float32))
+    line = jnp.asarray(rs.rand(B, H, H, 1).astype(np.float32))
+    logits, new_params = discriminator.apply(params, img, line, img,
+                                             update_sn=True)
+    assert logits.shape == (B, 1, 1, 256)
+    # power iteration moved u
+    assert not np.allclose(np.asarray(new_params["dconv1"]["u"]),
+                           np.asarray(params["dconv1"]["u"]))
+    # after a few iterations the top singular value of w/sigma ~ 1
+    p = params["dconv1"]
+    for _ in range(30):
+        _, u = discriminator._spectral_normalize(p)
+        p = {**p, "u": u}
+    w_sn, _ = discriminator._spectral_normalize(p)
+    s = np.linalg.svd(np.asarray(w_sn).reshape(-1, w_sn.shape[-1]),
+                      compute_uv=False)
+    assert abs(s[0] - 1.0) < 1e-2
+
+
+def test_generate_fake_train_branches():
+    cfg = TrainConfig()
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    gen_params = {"M": state["params"]["M"], "G": state["params"]["G"]}
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+    for flag in (0, 1, 2):
+        out = generate_fake_train(gen_params, batch, jnp.int32(flag), cfg)
+        assert out["fake"].shape == batch["image"].shape
+        if flag == 0:
+            np.testing.assert_allclose(np.asarray(out["mask_inpaint"]),
+                                       np.asarray(batch["random_mask"]))
+            np.testing.assert_allclose(np.asarray(out["input_inpaint"]),
+                                       np.asarray(batch["gt"]))
+        if flag == 2:
+            vals = np.unique(np.asarray(out["mask_inpaint"]))
+            assert set(vals).issubset({0.0, 1.0})
+
+
+def test_train_step_updates_params():
+    cfg = TrainConfig()
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+    step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state["step"]) == 1
+    assert np.isfinite(float(metrics["G_total"]))
+    # G params moved
+    w0 = np.asarray(state["params"]["G"]["conv1"]["w"])
+    w1 = np.asarray(new_state["params"]["G"]["conv1"]["w"])
+    assert not np.allclose(w0, w1)
+    # D params moved
+    d0 = np.asarray(state["params"]["D"]["dconv1"]["w"])
+    d1 = np.asarray(new_state["params"]["D"]["dconv1"]["w"])
+    assert not np.allclose(d0, d1)
+
+
+def test_partial_update_mask_only():
+    cfg = TrainConfig(update_part="mask", no_gan_loss=True)
+    assert cfg.train_mask_only
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+    new_state, _ = jax.jit(
+        lambda st, b, k: train_step(st, b, k, cfg))(
+        state, batch, jax.random.PRNGKey(1))
+    # netG frozen, netM updated
+    g0 = np.asarray(state["params"]["G"]["conv1"]["w"])
+    g1 = np.asarray(new_state["params"]["G"]["conv1"]["w"])
+    np.testing.assert_array_equal(g0, g1)
+    m0 = np.asarray(state["params"]["M"]["conv1"]["w"])
+    m1 = np.asarray(new_state["params"]["M"]["conv1"]["w"])
+    assert not np.allclose(m0, m1)
+
+
+def test_dryrun_multichip_cpu_mesh():
+    import __graft_entry__ as ge
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)
