@@ -54,14 +54,20 @@ def main():
 
     fn = jax.jit(lambda p, i, s: editline2.edit(p, i, s, config=config))
 
-    for _ in range(WARMUP):
-        composed, mask = fn(params, image, sketch)
-    jax.block_until_ready((composed, mask))
+    # Chain iterations (output feeds the next input) so every step is on the
+    # critical path, and force completion by fetching a scalar reduction of
+    # the last output — on this runtime block_until_ready alone does not
+    # guarantee execution finished.
+    def run_chain(image, n):
+        composed = image
+        for _ in range(n):
+            composed, mask = fn(params, image, sketch)
+            image = jax.numpy.clip(composed, -1, 1).astype(image.dtype)
+        return float(jax.numpy.sum(composed.astype(jax.numpy.float32)))
 
+    run_chain(image, WARMUP)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        composed, mask = fn(params, image, sketch)
-    jax.block_until_ready((composed, mask))
+    run_chain(image, ITERS)
     dt = time.perf_counter() - t0
 
     images_per_sec = BATCH * ITERS / dt

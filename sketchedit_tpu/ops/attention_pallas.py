@@ -1,0 +1,152 @@
+"""Fused contextual-attention kernel (Pallas, TPU).
+
+Computes the splitcam P1+P2 chain — similarity matmul, valid-ratio gating,
+softmax(x10), and weighted patch recombination — in one kernel pipeline,
+never materializing the (B, N, P) similarity tensor in HBM. This is the hot
+quadratic op: at 512^2 the similarity tensor alone is B x 3969 x 3969
+(63 MB/image fp32), all of which stays in VMEM tiles here.
+
+Semantics match ops/attention.py exactly (same reference quirks: gated
+similarities are *zeroed* before softmax so they contribute exp(0)=1 to the
+denominator; padded key slots contribute nothing). Patch extraction and the
+overlap-add fold stay outside — they're cheap static reshapes XLA fuses
+well; the kernel owns the quadratic part.
+
+Flash-attention-style streaming over a (B, Nq, Nkv) grid (TPU grids run
+sequentially, innermost fastest, so fp32 scratch accumulators carry the
+online softmax state across kv steps of one (batch, q-tile) program).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sketchedit_tpu.ops.attention import (
+    extract_patches, fold_patches, patch_valid_ratio)
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, gate_ref, o_ref,
+                 acc_ref, m_ref, l_ref, *, scale: float):
+    """Grid (B, Nq, Nkv); one kv step of one (batch, q-tile) program.
+
+    q_ref: (1, TQ, D); k_ref/v_ref: (1, TK, D); gate_ref: (1, 1, TK)
+    with 1=keep, 0=gated, NEG_INF=padding. o_ref: (1, TQ, D).
+    Scratch (persist across kv steps): acc (TQ, D), m/l (TQ, 128).
+    """
+    j = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = gate_ref[0, 0].astype(jnp.float32)
+
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TQ, TK)
+    # reference order: (sim * keep) * softmax_scale; padded keys -> -inf
+    logits = jnp.where(g[None, :] <= NEG_INF * 0.5,
+                       NEG_INF, sim * g[None, :] * scale)
+
+    m_prev = m_ref[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+
+    l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:, 0:1] = m_new
+
+    @pl.when(j == nkv - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
+                          q_tile: int = 128, kv_tile: int = 512):
+    """softmax(QK^T * keep * scale) @ V with the splitcam gating quirk.
+
+    Q: (B, N, D); K, V: (B, P, D); keep: (B, P) in {0, 1}.
+    Returns (B, N, D) float32.
+    """
+    B, N, D = Q.shape
+    P = K.shape[1]
+    q_tile = min(q_tile, _round_up(N, 128))
+    kv_tile = min(kv_tile, _round_up(P, 128))
+    Np, Pp, Dp = (_round_up(N, q_tile), _round_up(P, kv_tile),
+                  _round_up(D, 128))
+
+    Qp = jnp.pad(Q.astype(jnp.float32), ((0, 0), (0, Np - N), (0, Dp - D)))
+    Kp = jnp.pad(K.astype(jnp.float32), ((0, 0), (0, Pp - P), (0, Dp - D)))
+    Vp = jnp.pad(V.astype(jnp.float32), ((0, 0), (0, Pp - P), (0, Dp - D)))
+    gate = jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, Pp - P)),
+                   constant_values=NEG_INF)[:, None, :]
+
+    grid = (B, Np // q_tile, Pp // kv_tile)
+    kernel = functools.partial(_attn_kernel, scale=softmax_scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, Dp), jnp.float32),
+            pltpu.VMEM((q_tile, 128), jnp.float32),
+            pltpu.VMEM((q_tile, 128), jnp.float32),
+        ],
+    )(Qp, Kp, Vp, gate)
+    return out[:, :N, :D]
+
+
+def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
+                                stride: int = 2, softmax_scale: float = 10.0,
+                                th: float = 0.1):
+    """Drop-in replacement for ops.attention.contextual_attention."""
+    B, H, W, C = b.shape
+    k, s = patch_size, stride
+    in_dtype = f.dtype
+
+    bf = b.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(bf * bf, axis=(1, 2), keepdims=True) + 1e-8)
+    bn = bf / norm
+
+    kp = extract_patches(bn, k, s)
+    nh, nw = kp.shape[1], kp.shape[2]
+    P = nh * nw
+    D = k * k * C
+    K = kp.reshape(B, P, D)
+    V = extract_patches(bf, k, s).reshape(B, P, D)
+    Q = extract_patches(f.astype(jnp.float32), k, s).reshape(B, P, D)
+
+    valid = 1.0 - mask.astype(jnp.float32)
+    keep = (patch_valid_ratio(valid, k, s) > th).astype(jnp.float32)
+
+    out = attention_core_pallas(Q, K, V, keep, softmax_scale=softmax_scale)
+    folded = fold_patches(out.reshape(B, nh, nw, k, k, C), (H, W), s)
+    return folded.astype(in_dtype)

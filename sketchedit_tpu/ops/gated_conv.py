@@ -38,7 +38,7 @@ def conv2d(params, x, *, stride: int = 1, rate: int = 1, precision=None):
     HIGHEST (full fp32 — the default low precision loses ~1e-2 vs torch);
     throughput paths run bf16 data with default precision for the MXU.
     """
-    w = params["w"]
+    w = params["w"].astype(x.dtype)
     k = w.shape[0]
     p = int(rate * (k - 1) / 2)
     y = lax.conv_general_dilated(
@@ -93,7 +93,7 @@ def leaky_conv2d(params, x, *, stride: int = 2, negative_slope: float = 0.01,
 
     The reference uses ``F.leaky_relu`` with its default slope 0.01.
     """
-    w = params["w"]
+    w = params["w"].astype(x.dtype)
     k = w.shape[0]
     p = int((k - 1) / 2)
     y = lax.conv_general_dilated(
