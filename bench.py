@@ -23,7 +23,7 @@ BASELINE_IMAGES_PER_SEC = 15.0
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 SIZE = int(os.environ.get("BENCH_SIZE", 256))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
-ATTENTION = os.environ.get("BENCH_ATTENTION", "xla")
+ATTENTION = os.environ.get("BENCH_ATTENTION", "pallas")
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
 

@@ -82,10 +82,12 @@ def _round_up(x, m):
 
 
 def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
-                          q_tile: int = 128, kv_tile: int = 512):
+                          q_tile: int = 128, kv_tile: int = 256):
     """softmax(QK^T * keep * scale) @ V with the splitcam gating quirk.
 
     Q: (B, N, D); K, V: (B, P, D); keep: (B, P) in {0, 1}.
+    Q/K/V stream in their input dtype (bf16 on the throughput path halves
+    the DMA); the contraction and softmax state accumulate in fp32.
     Returns (B, N, D) float32.
     """
     B, N, D = Q.shape
@@ -95,9 +97,9 @@ def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
     Np, Pp, Dp = (_round_up(N, q_tile), _round_up(P, kv_tile),
                   _round_up(D, 128))
 
-    Qp = jnp.pad(Q.astype(jnp.float32), ((0, 0), (0, Np - N), (0, Dp - D)))
-    Kp = jnp.pad(K.astype(jnp.float32), ((0, 0), (0, Pp - P), (0, Dp - D)))
-    Vp = jnp.pad(V.astype(jnp.float32), ((0, 0), (0, Pp - P), (0, Dp - D)))
+    Qp = jnp.pad(Q, ((0, 0), (0, Np - N), (0, Dp - D)))
+    Kp = jnp.pad(K, ((0, 0), (0, Pp - P), (0, Dp - D)))
+    Vp = jnp.pad(V, ((0, 0), (0, Pp - P), (0, Dp - D)))
     gate = jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, Pp - P)),
                    constant_values=NEG_INF)[:, None, :]
 
@@ -134,15 +136,15 @@ def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
 
     bf = b.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(bf * bf, axis=(1, 2), keepdims=True) + 1e-8)
-    bn = bf / norm
+    bn = (bf / norm).astype(in_dtype)
 
     kp = extract_patches(bn, k, s)
     nh, nw = kp.shape[1], kp.shape[2]
     P = nh * nw
     D = k * k * C
     K = kp.reshape(B, P, D)
-    V = extract_patches(bf, k, s).reshape(B, P, D)
-    Q = extract_patches(f.astype(jnp.float32), k, s).reshape(B, P, D)
+    V = extract_patches(b, k, s).reshape(B, P, D)
+    Q = extract_patches(f, k, s).reshape(B, P, D)
 
     valid = 1.0 - mask.astype(jnp.float32)
     keep = (patch_valid_ratio(valid, k, s) > th).astype(jnp.float32)
