@@ -61,10 +61,15 @@ def fold_patches(patches, out_hw, s: int):
 
 
 def patch_valid_ratio(valid, k: int, s: int):
-    """Mean of a (B,H,W,1) validity map over each kxk patch -> (B, P)."""
-    m = extract_patches(valid, k, s)          # (B, nh, nw, k, k, 1)
-    B, nh, nw = m.shape[:3]
-    return jnp.mean(m.reshape(B, nh * nw, -1), axis=-1)
+    """Mean of a (B,H,W,1) validity map over each kxk patch -> (B, P).
+
+    Implemented as a strided average pool (identical to the unfold+mean the
+    reference does, far cheaper than materializing mask patches)."""
+    v = valid.astype(jnp.float32)
+    summed = jax.lax.reduce_window(
+        v, 0.0, jax.lax.add, (1, k, k, 1), (1, s, s, 1), "VALID")
+    B = v.shape[0]
+    return summed.reshape(B, -1) / float(k * k)
 
 
 def contextual_attention(f, b, mask, *, patch_size: int = 4, stride: int = 2,

@@ -82,7 +82,8 @@ def _round_up(x, m):
 
 
 def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
-                          q_tile: int = 128, kv_tile: int = 256):
+                          q_tile: int | None = None,
+                          kv_tile: int | None = None):
     """softmax(QK^T * keep * scale) @ V with the splitcam gating quirk.
 
     Q: (B, N, D); K, V: (B, P, D); keep: (B, P) in {0, 1}.
@@ -92,6 +93,11 @@ def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
     """
     B, N, D = Q.shape
     P = K.shape[1]
+    # Tile defaults tuned on v5e: bf16 streams afford double-size kv tiles
+    # within the ~16MB VMEM budget (incl. double buffering).
+    wide = jnp.dtype(Q.dtype).itemsize <= 2
+    q_tile = q_tile or (256 if wide else 128)
+    kv_tile = kv_tile or (512 if wide else 256)
     q_tile = min(q_tile, _round_up(N, 128))
     kv_tile = min(kv_tile, _round_up(P, 128))
     Np, Pp, Dp = (_round_up(N, q_tile), _round_up(P, kv_tile),
@@ -136,15 +142,18 @@ def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
 
     bf = b.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(bf * bf, axis=(1, 2), keepdims=True) + 1e-8)
-    bn = (bf / norm).astype(in_dtype)
+    inv_norm = (1.0 / norm).astype(in_dtype)          # (B, 1, 1, C)
 
-    kp = extract_patches(bn, k, s)
-    nh, nw = kp.shape[1], kp.shape[2]
+    vp = extract_patches(b, k, s)
+    nh, nw = vp.shape[1], vp.shape[2]
     P = nh * nw
     D = k * k * C
-    K = kp.reshape(B, P, D)
-    V = extract_patches(b, k, s).reshape(B, P, D)
-    Q = extract_patches(f, k, s).reshape(B, P, D)
+    V = vp.reshape(B, P, D)
+    # K = patches of (b / ||b||) == V scaled per-channel: the norm is global
+    # per (batch, channel), so it factors out of the patch extraction —
+    # tile it along the k*k patch-pixel axis instead of re-extracting.
+    K = V * jnp.tile(inv_norm.reshape(B, 1, C), (1, 1, k * k))
+    Q = V if f is b else extract_patches(f, k, s).reshape(B, P, D)
 
     valid = 1.0 - mask.astype(jnp.float32)
     keep = (patch_valid_ratio(valid, k, s) > th).astype(jnp.float32)
