@@ -15,9 +15,28 @@ import itertools
 import numpy as np
 
 from sketchedit_tpu.data.testimage import TestImageDataset
+from sketchedit_tpu.data.editimage import EditImageDataset
+
+
+class BaseDataset:
+    """No-op dataset for entry points that don't read one (the demo server;
+    the reference's --dataset_mode default is 'base')."""
+
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        return parser
+
+    def initialize(self, opt):
+        self.opt = opt
+
+    def __len__(self):
+        return 0
+
 
 DATASETS = {
     "testimage": TestImageDataset,
+    "editimage": EditImageDataset,
+    "base": BaseDataset,
 }
 
 

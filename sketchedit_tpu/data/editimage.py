@@ -1,0 +1,92 @@
+"""Training dataset for sketch-guided editing (greenfield).
+
+The reference snapshot ships no training dataset ("training code coming
+soon"); its model contract (editline2_model.py preprocess_input :223-242)
+expects per-sample: image, gt, 'mask' = the *partial sketch*, 'edgegt' =
+the full edge map, plus synthetic random masks. This dataset realizes the
+paper's construction: full edges from a Canny detector, a random edit
+region from MaskCreator, and the partial sketch = edges inside that region.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from sketchedit_tpu.data.transforms import (
+    get_params, apply_transform, image_to_array)
+from sketchedit_tpu.data.mask_creator import MaskCreator, external_mask
+from sketchedit_tpu.data.image_folder import make_dataset
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class EditImageDataset:
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        parser.add_argument('--train_image_dir', type=str,
+                            help='directory of training images '
+                                 '(recursively listed)')
+        parser.add_argument('--train_image_list', type=str,
+                            help='optional explicit file list')
+        parser.add_argument('--canny_low', type=int, default=100)
+        parser.add_argument('--canny_high', type=int, default=200)
+        return parser
+
+    def initialize(self, opt, seed: int = 0):
+        self.opt = opt
+        if getattr(opt, 'train_image_list', None):
+            with open(opt.train_image_list) as f:
+                self.paths = [line.strip() for line in f if line.strip()]
+        else:
+            self.paths = make_dataset(
+                opt.train_image_dir,
+                max_dataset_size=getattr(opt, 'max_dataset_size', None))
+        self.rng = np.random.default_rng(seed)
+        self.mask_creator = MaskCreator(
+            getattr(opt, 'path_objectshape_list', None),
+            getattr(opt, 'path_objectshape_base', None),
+            rng=self.rng)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _edges(self, img_u8: np.ndarray) -> np.ndarray:
+        gray = cv2.cvtColor(img_u8, cv2.COLOR_RGB2GRAY)
+        e = cv2.Canny(gray, self.opt.canny_low, self.opt.canny_high)
+        return (e > 0).astype(np.float32)[:, :, None]
+
+    def __getitem__(self, index):
+        img = Image.open(self.paths[index]).convert('RGB')
+        params = get_params(self.opt, img.size, self.rng)
+        img = apply_transform(self.opt, img, params)
+        img_u8 = np.asarray(img, dtype=np.uint8)
+        h, w = img_u8.shape[:2]
+
+        edgegt = self._edges(img_u8)
+        region = external_mask(
+            self.mask_creator, h, w,
+            use_object_masks=not getattr(self.opt, 'not_om', False))
+        line = edgegt * region[:, :, None]
+
+        image = image_to_array(img)
+        return {
+            'image': image,
+            'gt': image,
+            'mask': line,                                 # partial sketch
+            'edgegt': edgegt,                             # full edge map
+            'random_mask': external_mask(
+                self.mask_creator, h, w,
+                use_object_masks=not getattr(self.opt, 'not_om', False)
+            )[:, :, None],
+            'random_mask2': external_mask(
+                self.mask_creator, h, w,
+                use_object_masks=not getattr(self.opt, 'not_om', False)
+            )[:, :, None],
+            'path': os.path.basename(self.paths[index]),
+        }

@@ -1,0 +1,114 @@
+"""Demo server + composite pipeline tests (no network, in-process)."""
+
+import base64
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+class FakePipeline:
+    """Stands in for the jitted model: returns a shifted image + box mask."""
+
+    def __call__(self, image, sketch):
+        composed = np.clip(image * 0.5, -1, 1)
+        mask = np.zeros_like(sketch)
+        mask[:, 4:-4, 4:-4] = 1.0
+        return composed, mask
+
+
+@pytest.fixture
+def app(tmp_path):
+    from sketchedit_tpu.server.demo_server import DemoApp
+    static = tmp_path / "static"
+    (static / "images").mkdir(parents=True)
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(64, 48, 3) * 255).astype(np.uint8))
+    img.save(static / "images" / "example.png")
+    return DemoApp(FakePipeline(), static_root=str(static))
+
+
+def test_render_lists_example(app):
+    html = app.render(0)
+    assert "example.png" in html
+    assert "canvas" in html
+
+
+def test_process_image_rounds_to_multiple_of_8(app):
+    img = Image.fromarray(
+        (np.random.RandomState(1).rand(70, 50, 3) * 255).astype(np.uint8))
+    sketch = Image.new("L", (50, 70), 0)
+    name = app.process_image(img, sketch, "out.png")
+    out = Image.open(os.path.join(app.static_root, "results", name))
+    # result resized back to the raw size
+    assert out.size == (50, 70)
+    # edit chains: result saved back into images/
+    assert os.path.exists(os.path.join(app.static_root, "images", name))
+
+
+def test_post_mask_roundtrip(app):
+    # build a canvas-style base64 PNG sketch
+    sk = Image.new("RGBA", (48, 64), (0, 0, 0, 0))
+    for x in range(10, 30):
+        sk.putpixel((x, 20), (0, 0, 255, 255))
+    buf = io.BytesIO()
+    sk.save(buf, format="PNG")
+    data = "data:image/png;base64," + base64.b64encode(
+        buf.getvalue()).decode()
+    redirect = app.handle_post({
+        "imgname": ["example.png"], "im_idx": ["0"], "mask": [data]})
+    assert redirect.startswith("/?idx=")
+    results = os.listdir(os.path.join(app.static_root, "results"))
+    assert len(results) == 1 and results[0].startswith("result_")
+    masks = os.listdir(os.path.join(app.static_root, "masks"))
+    assert len(masks) == 1
+
+
+def test_change_example_cycles(app):
+    redirect = app.handle_post({"changeim": ["1"], "im_idx": ["0"]})
+    assert redirect == "/?idx=0"  # single example wraps around
+
+
+def test_feather_mask_properties():
+    from sketchedit_tpu.server.composite import _feather_mask
+    m = _feather_mask(64)
+    assert m.shape == (64, 64, 1)
+    assert float(m[32, 32, 0]) == 1.0
+    assert float(m[0, 0, 0]) < 0.05
+
+
+def test_face_crop_edit_falls_back_without_sketch():
+    from sketchedit_tpu.server.composite import face_crop_edit
+    image = np.zeros((96, 96, 3), np.float32)
+    sketch = np.zeros((96, 96, 1), np.float32)
+    out = face_crop_edit(FakePipeline(), image, sketch)
+    assert out.shape == (96, 96, 3)
+    # fallback edits the whole image through the pipeline (x0.5)
+    np.testing.assert_allclose(out, image * 0.5)
+
+
+def test_face_crop_edit_localizes_sketch_region():
+    from sketchedit_tpu.server.composite import face_crop_edit
+    rs = np.random.RandomState(0)
+    image = (rs.rand(128, 128, 3).astype(np.float32) - 0.5) * 2
+    sketch = np.zeros((128, 128, 1), np.float32)
+    sketch[30:50, 40:60] = 1.0            # strokes in the upper-left area
+    out = face_crop_edit(FakePipeline(), image, sketch)
+    assert out.shape == image.shape
+    # the sketched region was edited (values halved by FakePipeline)...
+    center = out[38:42, 48:52]
+    assert np.abs(center).mean() < np.abs(image[38:42, 48:52]).mean()
+    # ...while a far corner stays untouched
+    np.testing.assert_allclose(out[120:, 120:], image[120:, 120:])
+
+
+def test_localize_prefers_external_detector():
+    from sketchedit_tpu.server.composite import localize_edit_region
+    img = np.zeros((64, 64, 3), np.uint8)
+    sketch = np.zeros((64, 64, 1), np.float32)
+    sketch[10:12, 10:12] = 1.0
+    det = lambda im: [(8, 8, 16, 16), (40, 40, 10, 10)]
+    box = localize_edit_region(img, sketch, det)
+    assert box == (8, 8, 16, 16)

@@ -1,0 +1,113 @@
+"""Training CLI (greenfield — the reference says "training code coming
+soon"; this realizes the training semantics its model code defines).
+
+One jitted G+D step per batch (sketchedit_tpu/train/trainer.py), data-
+parallel over all local devices when more than one is present, periodic
+checkpointing with the reference's {epoch}_net_{M,G,D} naming and iter.txt
+resume.
+
+Example:
+    python train.py --name myrun --dataset_mode editimage \
+        --train_image_dir /data/images --batchSize 8 --use_cam \
+        --pool_type max --joint_train_inp
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sketchedit_tpu.options.train_options import TrainOptions
+    from sketchedit_tpu import data
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+    from sketchedit_tpu.params import checkpoint as ckpt
+    from sketchedit_tpu.runner import enable_persistent_cache
+    from sketchedit_tpu.train.trainer import (
+        TrainConfig, init_train_state, train_step)
+    from sketchedit_tpu.train.losses import load_vgg_params
+    from sketchedit_tpu.utils.iter_counter import IterationCounter
+    from sketchedit_tpu.parallel.mesh import (
+        data_parallel_mesh, replicate, shard_batch)
+
+    opt = TrainOptions().parse()
+    enable_persistent_cache()
+
+    dataloader = data.create_dataloader(opt)
+    cfg = TrainConfig(
+        netg=DeepFillConfig(
+            use_cam=opt.use_cam, pool_type=opt.pool_type,
+            no_mask_cc=opt.no_mask_cc, no_mask_coarse=opt.no_mask_coarse,
+            joint_train_inp=opt.joint_train_inp,
+            attention_impl=opt.attention_impl),
+        gan_mode=opt.gan_mode, lambda_l1=opt.lambda_l1,
+        lambda_l1_mask=opt.lambda_l1_mask, lambda_vgg=opt.lambda_vgg,
+        no_gan_loss=opt.no_gan_loss,
+        no_vgg_loss=opt.no_vgg_loss or load_vgg_params() is None,
+        filt_maskim=opt.filt_maskim, no_detach=opt.no_detach,
+        update_part=opt.update_part, lr=opt.lr, beta1=opt.beta1,
+        beta2=opt.beta2, no_TTUR=opt.no_TTUR)
+    vgg_params = None if cfg.no_vgg_loss else load_vgg_params()
+
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    # warm-start nets from checkpoints when present / requested
+    for label, flag in (("M", opt.load_pretrained_mask),
+                        ("G", opt.load_pretrained_g),
+                        ("D", opt.load_pretrained_d)):
+        if flag:
+            state["params"][label] = ckpt.load_network_path(flag)
+            print(f"loaded pretrained net {label} from {flag}")
+        elif opt.continue_train:
+            loaded = ckpt.load_network(label, opt)
+            if loaded is not None:
+                state["params"][label] = loaded
+                print(f"resumed net {label}")
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = data_parallel_mesh()
+        state = replicate(mesh, state)
+        print(f"data-parallel over {len(mesh.devices.flat)} devices")
+
+    step_fn = jax.jit(
+        lambda st, b, k: train_step(st, b, k, cfg, vgg_params))
+
+    iter_counter = IterationCounter(opt, len(dataloader.dataset))
+    key = jax.random.PRNGKey(opt.niter)
+
+    for epoch in iter_counter.training_epochs():
+        iter_counter.record_epoch_start(epoch)
+        for batch in dataloader:
+            key, sub = jax.random.split(key)
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                            if isinstance(v, np.ndarray)}
+            if mesh is not None:
+                device_batch = dict(zip(
+                    device_batch,
+                    shard_batch(mesh, *device_batch.values())))
+            state, metrics = step_fn(state, device_batch, sub)
+            iter_counter.record_one_iteration()
+            if iter_counter.needs_printing():
+                vals = {k: round(float(v), 4) for k, v in metrics.items()}
+                print(f"epoch {epoch} iter {iter_counter.epoch_iter} "
+                      f"({iter_counter.time_per_iter*1000:.0f} ms/img) "
+                      f"{vals}")
+            if iter_counter.needs_saving():
+                ckpt.save_pipeline(state["params"], "latest", opt)
+                iter_counter.record_current_iter()
+        iter_counter.record_epoch_end()
+        if (epoch % opt.save_epoch_freq == 0
+                or epoch == iter_counter.total_epochs):
+            ckpt.save_pipeline(state["params"], "latest", opt)
+            ckpt.save_pipeline(state["params"], epoch, opt)
+            print(f"saved the model at the end of epoch {epoch}")
+
+
+if __name__ == "__main__":
+    main()
