@@ -1,0 +1,155 @@
+"""Checkpoint, options, data-loader, and utility tests."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from sketchedit_tpu.params import checkpoint as ckpt
+    params = {"conv1": {"w": jnp.ones((3, 3, 4, 8)), "b": jnp.zeros((8,))},
+              "conv2_downsample": {"w": jnp.full((3, 3, 4, 8), 2.0),
+                                   "b": jnp.ones((8,))}}
+    opt = argparse.Namespace(checkpoints_dir=str(tmp_path), name="t",
+                             which_epoch="latest")
+    ckpt.save_network(params, "G", 5, opt)
+    # both the epoch file and the latest alias exist
+    assert os.path.exists(tmp_path / "t" / "5_net_G.npz")
+    assert os.path.exists(tmp_path / "t" / "latest_net_G.npz")
+    loaded = ckpt.load_network("G", opt)
+    for k in params:
+        for leaf in params[k]:
+            np.testing.assert_array_equal(loaded[k][leaf], params[k][leaf])
+
+
+def test_checkpoint_ingests_torch_pth(tmp_path):
+    import torch
+    from sketchedit_tpu.params import checkpoint as ckpt
+    os.makedirs(tmp_path / "t")
+    state = {"module.conv1.weight": torch.randn(8, 4, 3, 3),
+             "module.conv1.bias": torch.randn(8)}
+    torch.save(state, tmp_path / "t" / "latest_net_M.pth")
+    opt = argparse.Namespace(checkpoints_dir=str(tmp_path), name="t",
+                             which_epoch="latest")
+    loaded = ckpt.load_network("M", opt)
+    assert loaded["conv1"]["w"].shape == (3, 3, 4, 8)
+    np.testing.assert_allclose(
+        np.asarray(loaded["conv1"]["w"]),
+        state["module.conv1.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+def test_options_parse_and_snapshot(tmp_path, monkeypatch):
+    import sys
+    from sketchedit_tpu.options.test_options import TestOptions
+    argv = ["prog", "--name", "t", "--dataset_mode", "base",
+            "--checkpoints_dir", str(tmp_path),
+            "--use_cam", "--pool_type", "max", "--joint_train_inp"]
+    monkeypatch.setattr(sys, "argv", argv)
+    opt = TestOptions().parse(save=True)
+    assert opt.crop_size == 256 and not opt.isTrain
+    assert opt.use_cam and opt.pool_type == "max"
+    assert (tmp_path / "t" / "opt.txt").exists()
+    assert (tmp_path / "t" / "opt.json").exists()
+
+
+def test_dataloader_pads_last_batch(tmp_path):
+    from sketchedit_tpu.data import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {"image": np.full((4, 4, 3), i, np.float32),
+                    "path": f"p{i}"}
+
+    dl = DataLoader(DS(), batch_size=2)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[-1]["valid"] == 1
+    assert batches[-1]["image"].shape == (2, 4, 4, 3)
+    # threaded path yields the same data in order
+    dl2 = DataLoader(DS(), batch_size=2, num_workers=2)
+    batches2 = list(dl2)
+    for a, b in zip(batches, batches2):
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_mask_creator_shapes():
+    from sketchedit_tpu.data.mask_creator import MaskCreator, external_mask
+    mc = MaskCreator(rng=np.random.default_rng(0))
+    m = mc.stroke_mask(64, 64, max_length=32)
+    assert m.shape == (64, 64) and set(np.unique(m)).issubset({0.0, 1.0})
+    r = mc.rectangle_mask(64, 64, 16, 32)
+    assert r.sum() > 0
+    e = external_mask(mc, 64, 64, use_object_masks=False)
+    assert e.shape == (64, 64) and e.dtype == np.float32
+
+
+def test_spatial_discount():
+    from sketchedit_tpu.data.mask_creator import spatial_discount
+    mask = np.zeros((16, 16))
+    mask[4:12, 4:12] = 1.0
+    d = spatial_discount(mask)
+    assert d.shape == mask.shape
+    assert d[8, 8] < d[4, 4]          # decays toward the hole center
+    assert d[0, 0] == 0.0             # outside the mask
+
+
+def test_labels_colormap():
+    from sketchedit_tpu.utils.labels import labelcolormap, tensor2label
+    cmap = labelcolormap(35)
+    assert cmap.shape == (35, 3)
+    assert len({tuple(c) for c in cmap}) == 35    # distinct colors
+    lab = np.zeros((8, 8), np.int64)
+    lab[:4] = 1
+    vis = tensor2label(lab, 35)
+    assert vis.shape == (8, 8, 3)
+
+
+def test_imaging_roundtrip(tmp_path):
+    from sketchedit_tpu.utils.imaging import tensor2im, mask2im, save_image
+    x = np.linspace(-1, 1, 48).reshape(4, 4, 3).astype(np.float32)
+    u8 = tensor2im(x)
+    assert u8.dtype == np.uint8 and u8.max() == 255 and u8.min() == 0
+    m = mask2im(np.full((4, 4, 1), 0.5, np.float32))
+    assert m.shape == (4, 4) and abs(int(m[0, 0]) - 127) <= 1
+    save_image(u8, str(tmp_path / "x.png"))
+    assert (tmp_path / "x.png").exists()
+
+
+def test_iteration_counter(tmp_path):
+    from sketchedit_tpu.utils.iter_counter import IterationCounter
+    opt = argparse.Namespace(
+        checkpoints_dir=str(tmp_path), name="t", niter=2, niter_decay=0,
+        batchSize=2, isTrain=True, continue_train=False,
+        save_epoch_freq=1, save_latest_freq=4, print_freq=4,
+        display_freq=4)
+    os.makedirs(tmp_path / "t")
+    ic = IterationCounter(opt, dataset_size=6)
+    assert list(ic.training_epochs()) == [1, 2]
+    ic.record_epoch_start(1)
+    ic.record_one_iteration()
+    assert not ic.needs_printing()       # step 2: 2 % 4 >= batch
+    ic.record_one_iteration()
+    assert ic.needs_printing()           # step 4: 4 % 4 < batch
+    ic.record_one_iteration()
+    ic.record_current_iter()
+    ic.record_epoch_end()
+    # resume
+    opt.continue_train = True
+    ic2 = IterationCounter(opt, dataset_size=6)
+    assert ic2.first_epoch == 2
+
+
+def test_stage_timer():
+    from sketchedit_tpu.utils.profiling import StageTimer
+    t = StageTimer()
+    with t.stage("a") as h:
+        h["out"] = jnp.ones((4,))
+    rep = t.report()
+    assert "a" in rep
