@@ -93,3 +93,30 @@ def make_edit_fn(params, *, config: EditLine2Config = EditLine2Config(),
     """jit-compiled closure over params; one compile per input shape."""
     fn = partial(edit, config=config)
     return jax.jit(fn, donate_argnums=(1,) if donate else ())
+
+
+def forward(params, data: dict, mode: str, *,
+            config: EditLine2Config = EditLine2Config()):
+    """Mode-dispatch facade matching the reference model's call surface
+    (editline2_model.py:107-147): data keys 'image' and 'mask' (the sketch),
+    modes 'inference' and 'visualize'. Training modes live in
+    train/trainer.py where the loss machinery is.
+    """
+    image, sketch = data["image"], data["mask"]
+    if mode == "inference":
+        return edit(params, image, sketch, config=config)
+    if mode == "visualize":
+        out = generate(params, image, sketch, config=config)
+        soft = out["mask"]
+        composed = (out["fake"] * soft
+                    + image.astype(soft.dtype) * (1.0 - soft))
+        return {
+            "mask": out["mask_inpaint"],
+            "maskim": out["mask_image"],
+            "coarse": out["coarse"],
+            "fine": out["fake"],
+            "composed": composed,
+        }
+    raise ValueError(f"|mode| '{mode}' is invalid for the inference "
+                     "pipeline; use train.trainer for generator/"
+                     "discriminator steps")

@@ -20,13 +20,27 @@ from sketchedit_tpu.models import editline2
 from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
 from sketchedit_tpu.models.editline2 import EditLine2Config
 from sketchedit_tpu.params import checkpoint as ckpt
-from sketchedit_tpu.parallel.mesh import data_parallel_mesh, shard_batch
+from sketchedit_tpu.parallel.mesh import (
+    BATCH_AXIS, data_parallel_mesh, shard_batch)
+
+
+def respect_platform_env():
+    """Honor an explicit JAX_PLATFORMS that excludes the tunneled TPU: the
+    axon PJRT plugin prepends itself to jax_platforms even when the user
+    asked for cpu, so re-assert the user's choice."""
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
 
 
 def enable_persistent_cache():
     """Persistent XLA compilation cache: first compile of the edit program
     is slow (20-40s on TPU, worse on CPU); subsequent process launches hit
     the disk cache. Override location via SKETCHEDIT_CACHE_DIR."""
+    respect_platform_env()
     cache_dir = os.environ.get(
         "SKETCHEDIT_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "sketchedit_tpu",
@@ -66,7 +80,8 @@ class EditPipeline:
         """Run one edit batch; returns numpy (composed, soft_mask)."""
         image = jnp.asarray(image_nhwc)
         sketch = jnp.asarray(sketch_nhw1)
-        if self.mesh is not None:
+        if (self.mesh is not None
+                and image.shape[0] % self.mesh.shape[BATCH_AXIS] == 0):
             image, sketch = shard_batch(self.mesh, image, sketch)
         composed, mask = self.edit_fn(self.params, image, sketch)
         return np.asarray(composed), np.asarray(mask)

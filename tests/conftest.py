@@ -8,7 +8,10 @@ driver's compile checks, not by the unit suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment exports JAX_PLATFORMS=axon (the tunneled TPU), and the
+# plugin re-registers itself even when overridden — force CPU both in the
+# env (for subprocesses) and via jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +24,8 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # Full-fp32 contractions for parity tests (JAX's default matmul/conv
 # precision is allowed to be much looser than torch fp32), and a persistent
