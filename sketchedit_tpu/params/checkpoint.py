@@ -82,6 +82,37 @@ def load_network_path(path, dtype=jnp.float32):
     return load_torch_checkpoint(path, dtype)
 
 
+def save_train_state(state, opt, step_name="latest"):
+    """Full training-state checkpoint (params + optimizer moments + step)
+    via Orbax — resume-exact, unlike the per-network npz files which carry
+    weights only. Written beside them as `train_state_{step_name}/`."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(
+        opt.checkpoints_dir, opt.name, f"train_state_{step_name}"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+
+
+def load_train_state(opt, abstract_state, step_name="latest"):
+    """Restore a full training state; returns None when absent.
+    `abstract_state` is a freshly-initialized state providing the tree
+    structure/dtypes."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(
+        opt.checkpoints_dir, opt.name, f"train_state_{step_name}"))
+    if not os.path.isdir(path):
+        return None
+    ckptr = ocp.PyTreeCheckpointer()
+    restore_args = jax.tree_util.tree_map(
+        lambda x: ocp.ArrayRestoreArgs(dtype=getattr(x, "dtype", None)),
+        abstract_state)
+    try:
+        return ckptr.restore(path, item=abstract_state,
+                             restore_args=restore_args)
+    except Exception:
+        return ckptr.restore(path)
+
+
 def save_pipeline(params, epoch, opt):
     """Save the M/G(/D) networks of an editline2 params tree."""
     for label in params:

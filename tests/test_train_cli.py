@@ -1,0 +1,65 @@
+"""train.py end-to-end smoke (tiny data, 1 epoch, CPU) and full-state
+checkpoint roundtrip."""
+
+import argparse
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_train_state_roundtrip(tmp_path):
+    from sketchedit_tpu.train.trainer import TrainConfig, init_train_state
+    from sketchedit_tpu.params import checkpoint as ckpt
+    cfg = TrainConfig()
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    opt = argparse.Namespace(checkpoints_dir=str(tmp_path), name="t")
+    os.makedirs(tmp_path / "t")
+    ckpt.save_train_state(state, opt)
+    fresh = init_train_state(jax.random.PRNGKey(1), cfg)
+    restored = ckpt.load_train_state(opt, fresh)
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["G"]["conv1"]["w"]),
+        np.asarray(restored["params"]["G"]["conv1"]["w"]))
+    assert ckpt.load_train_state(
+        argparse.Namespace(checkpoints_dir=str(tmp_path), name="missing"),
+        fresh) is None
+
+
+def test_trainpy_cli_smoke(tmp_path):
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            imgs / f"{i}.png")
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu",
+               SKETCHEDIT_CACHE_DIR=os.path.join(REPO, ".jax_cache"))
+    cmd = [sys.executable, os.path.join(REPO, "train.py"),
+           "--name", "traintest", "--checkpoints_dir", str(tmp_path / "ck"),
+           "--dataset_mode", "editimage", "--train_image_dir", str(imgs),
+           "--batchSize", "2", "--niter", "1", "--use_cam",
+           "--pool_type", "max", "--joint_train_inp", "--not_om",
+           "--preprocess_mode", "resize_and_crop", "--load_size", "64",
+           "--crop_size", "64", "--no_flip",
+           "--save_epoch_freq", "1", "--print_freq", "2"]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+                         env=env, cwd=REPO)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
+    ckdir = tmp_path / "ck" / "traintest"
+    files = os.listdir(ckdir)
+    assert "latest_net_M.npz" in files
+    assert "latest_net_G.npz" in files
+    assert "latest_net_D.npz" in files
+    assert "train_state_latest" in files
+    assert "iter.txt" in files
+    assert "End of epoch 1" in res.stdout

@@ -56,6 +56,12 @@ def main():
     vgg_params = None if cfg.no_vgg_loss else load_vgg_params()
 
     state = init_train_state(jax.random.PRNGKey(0), cfg)
+    if opt.continue_train:
+        # resume-exact: params + optimizer moments + step via Orbax
+        restored = ckpt.load_train_state(opt, state)
+        if restored is not None:
+            state = restored
+            print(f"resumed full train state at step {int(state['step'])}")
     # warm-start nets from checkpoints when present / requested
     for label, flag in (("M", opt.load_pretrained_mask),
                         ("G", opt.load_pretrained_g),
@@ -63,17 +69,21 @@ def main():
         if flag:
             state["params"][label] = ckpt.load_network_path(flag)
             print(f"loaded pretrained net {label} from {flag}")
-        elif opt.continue_train:
+        elif opt.continue_train and int(state["step"]) == 0:
             loaded = ckpt.load_network(label, opt)
             if loaded is not None:
                 state["params"][label] = loaded
-                print(f"resumed net {label}")
+                print(f"resumed net {label} (weights only)")
 
     mesh = None
-    if len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    if n_dev > 1 and opt.batchSize % n_dev == 0:
         mesh = data_parallel_mesh()
         state = replicate(mesh, state)
-        print(f"data-parallel over {len(mesh.devices.flat)} devices")
+        print(f"data-parallel over {n_dev} devices")
+    elif n_dev > 1:
+        print(f"NOTE: batchSize {opt.batchSize} not divisible by "
+              f"{n_dev} devices; running single-device")
 
     step_fn = jax.jit(
         lambda st, b, k: train_step(st, b, k, cfg, vgg_params))
@@ -100,12 +110,14 @@ def main():
                       f"{vals}")
             if iter_counter.needs_saving():
                 ckpt.save_pipeline(state["params"], "latest", opt)
+                ckpt.save_train_state(jax.device_get(state), opt)
                 iter_counter.record_current_iter()
         iter_counter.record_epoch_end()
         if (epoch % opt.save_epoch_freq == 0
                 or epoch == iter_counter.total_epochs):
             ckpt.save_pipeline(state["params"], "latest", opt)
             ckpt.save_pipeline(state["params"], epoch, opt)
+            ckpt.save_train_state(jax.device_get(state), opt)
             print(f"saved the model at the end of epoch {epoch}")
 
 
