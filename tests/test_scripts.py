@@ -1,0 +1,97 @@
+"""Utility-script tests: torch export, VGG conversion, dataset prep."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+
+def test_export_torch_checkpoint(tmp_path):
+    import jax
+    from sketchedit_tpu.models import md_generator
+    from sketchedit_tpu.params import checkpoint as ckpt
+    import argparse
+    params = md_generator.init_params(jax.random.PRNGKey(0))
+    opt = argparse.Namespace(checkpoints_dir=str(tmp_path), name="t")
+    ckpt.save_network(params, "M", "latest", opt)
+
+    dst = tmp_path / "latest_net_M.pth"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "export_torch_checkpoint.py"),
+         "--src", str(tmp_path / "t" / "latest_net_M.npz"),
+         "--dst", str(dst)],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    # the exported .pth loads into the actual reference MDGenerator
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from models.networks.editline2_g import MDGenerator
+    import argparse as ap
+    net = MDGenerator(ap.Namespace())
+    state = torch.load(dst, weights_only=True)
+    net.load_state_dict(state)   # strict: every key must match
+    np.testing.assert_allclose(
+        net.conv1.weight.detach().numpy(),
+        np.asarray(params["conv1"]["w"]).transpose(3, 2, 0, 1))
+
+
+def test_convert_vgg19(tmp_path):
+    import torch
+    # synthesize a torchvision-shaped vgg19 state_dict
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    state, idx, cin = {}, 0, 3
+    for c in cfg:
+        if c == "M":
+            idx += 1
+            continue
+        state[f"features.{idx}.weight"] = torch.randn(c, cin, 3, 3)
+        state[f"features.{idx}.bias"] = torch.randn(c)
+        cin = c
+        idx += 2
+    src = tmp_path / "vgg.pth"
+    torch.save(state, src)
+    dst = tmp_path / "vgg.npz"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "convert_vgg19.py"),
+         "--src", str(src), "--dst", str(dst)],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    from sketchedit_tpu.train.losses import load_vgg_params, vgg_loss
+    import jax.numpy as jnp
+    params = load_vgg_params(str(dst))
+    assert len(params) == 16
+    x = jnp.zeros((1, 64, 64, 3))
+    y = jnp.ones((1, 64, 64, 3)) * 0.5
+    loss = float(vgg_loss(params, x, y))
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_coco_instance_map_rasterization():
+    sys.path.insert(0, os.path.join(REPO, "datasets"))
+    from coco_generate_instance_map import rasterize_instances
+    anns = [{"segmentation": [[2, 2, 10, 2, 10, 10, 2, 10]]},
+            {"segmentation": [[12, 12, 15, 12, 15, 15]]}]
+    inst = rasterize_instances(anns, 20, 20)
+    assert inst[5, 5] == 1
+    assert inst[13, 14] == 2
+    assert inst[0, 0] == 0
+
+
+def test_make_vis_overlay(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "datasets"))
+    from make_vis import overlay
+    img = np.zeros((8, 8, 3), np.uint8)
+    sk = np.zeros((8, 8), np.uint8)
+    sk[2, 3] = 255
+    out = overlay(img, sk)
+    assert tuple(out[2, 3]) == (0, 0, 255)
+    assert tuple(out[0, 0]) == (0, 0, 0)
