@@ -44,7 +44,7 @@ class DeepFillConfig:
     no_mask_cc: bool = False
     no_mask_coarse: bool = False
     joint_train_inp: bool = True
-    attention_impl: str = "xla"     # 'xla' | 'pallas'
+    attention_impl: str = "auto"    # 'auto' | 'xla' | 'pallas'
 
 
 def _spec_encoder(prefix: str, cin0: int):
@@ -139,7 +139,10 @@ def _attention(x, mask, config: DeepFillConfig, precision):
     to feature resolution (editline_g.py:203-207)."""
     mask_s = avg_pool2d(mask, 4, 4)
     mask_s = jax.lax.stop_gradient(mask_s)
-    if config.attention_impl == "pallas":
+    impl = config.attention_impl
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu" else "xla")
+    if impl == "pallas":
         from sketchedit_tpu.ops.attention_pallas import (
             contextual_attention_pallas)
         return contextual_attention_pallas(x, x, mask_s)

@@ -82,6 +82,11 @@ def edit(params, image, sketch, *, config: EditLine2Config = EditLine2Config()):
     image: (B, H, W, 3) in [-1, 1]; sketch: (B, H, W, 1) in {0, 1}.
     H and W must be multiples of 4 (two stride-2 downsamples).
     """
+    B, H, W = image.shape[:3]
+    if H % 4 or W % 4:
+        raise ValueError(
+            f"input size {H}x{W} must be a multiple of 4 (two stride-2 "
+            "stages + x2 decoders); the demo path rounds to /8")
     out = generate(params, image, sketch, config=config)
     soft = out["mask"]
     composed = out["fake"] * soft + image.astype(soft.dtype) * (1.0 - soft)

@@ -85,8 +85,8 @@ class BaseOptions:
                             choices=('default', 'highest'),
                             help="conv/matmul precision; 'highest' for "
                                  "checkpoint parity, 'default' for speed")
-        parser.add_argument('--attention_impl', type=str, default='xla',
-                            choices=('xla', 'pallas'))
+        parser.add_argument('--attention_impl', type=str, default='auto',
+                            choices=('auto', 'xla', 'pallas'))
         parser.add_argument('--data_parallel', type=int, default=0,
                             help='shard batches over N devices (0 = all '
                                  'local devices if >1)')

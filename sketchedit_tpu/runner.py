@@ -61,7 +61,7 @@ def config_from_opt(opt) -> EditLine2Config:
             no_mask_cc=getattr(opt, "no_mask_cc", False),
             no_mask_coarse=getattr(opt, "no_mask_coarse", False),
             joint_train_inp=getattr(opt, "joint_train_inp", True),
-            attention_impl=getattr(opt, "attention_impl", "xla"),
+            attention_impl=getattr(opt, "attention_impl", "auto"),
         ),
         precision=(None if getattr(opt, "precision", "highest") == "default"
                    else "highest"),
