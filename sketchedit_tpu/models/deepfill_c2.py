@@ -180,7 +180,10 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     if config.pool_type == "avg":
         lat = jnp.mean(h2, axis=(1, 2), keepdims=True)
     elif config.pool_type == "max":
-        lat = max_pool2d(h2, (hs, ws))
+        # global max via reduce (same forward as max_pool2d(kernel=(hs,ws));
+        # its gradient lowers cleanly, unlike select_and_scatter which
+        # VMEM-OOMs on 64x64 windows)
+        lat = jnp.max(h2, axis=(1, 2), keepdims=True)
     else:
         raise NotImplementedError(config.pool_type)
     lat = jnp.broadcast_to(lat, (B, hs, ws, lat.shape[-1]))

@@ -81,9 +81,52 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _attention_core_dense(Q, K, V, keep, softmax_scale):
+    """Dense reference of the core (differentiable; used for the VJP)."""
+    sim = jnp.einsum("bnd,bpd->bnp", Q.astype(jnp.float32),
+                     K.astype(jnp.float32))
+    w = jax.nn.softmax(sim * keep[:, None, :].astype(jnp.float32)
+                       * softmax_scale, axis=-1)
+    return jnp.einsum("bnp,bpd->bnd", w, V.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _core_with_vjp(Q, K, V, keep, softmax_scale):
+    return _attention_core_raw(Q, K, V, keep, softmax_scale=softmax_scale)
+
+
+def _core_fwd(Q, K, V, keep, softmax_scale):
+    return (_attention_core_raw(Q, K, V, keep, softmax_scale=softmax_scale),
+            (Q, K, V, keep))
+
+
+def _core_bwd(softmax_scale, res, g):
+    """Backward via the dense formulation — exact, one materialized
+    (B, N, P) weight tensor; fine at training resolutions. A fused Pallas
+    backward is a future optimization."""
+    Q, K, V, keep = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, m: _attention_core_dense(q, k, v, m, softmax_scale),
+        Q, K, V, keep)
+    return vjp(g)
+
+
+_core_with_vjp.defvjp(_core_fwd, _core_bwd)
+
+
 def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
                           q_tile: int | None = None,
                           kv_tile: int | None = None):
+    """Differentiable wrapper: Pallas forward, dense-XLA backward."""
+    if q_tile is None and kv_tile is None:
+        return _core_with_vjp(Q, K, V, keep, softmax_scale)
+    return _attention_core_raw(Q, K, V, keep, softmax_scale=softmax_scale,
+                               q_tile=q_tile, kv_tile=kv_tile)
+
+
+def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
+                        q_tile: int | None = None,
+                        kv_tile: int | None = None):
     """softmax(QK^T * keep * scale) @ V with the splitcam gating quirk.
 
     Q: (B, N, D); K, V: (B, P, D); keep: (B, P) in {0, 1}.
