@@ -37,11 +37,13 @@ def test_scale_width_preserves_aspect():
 
 
 def test_scale_shortside():
+    """Reference quirk (base_dataset.py __scale_shortside): the LONG side is
+    rescaled to target*ls/ss but the short side keeps its original size —
+    reproduced faithfully."""
     opt = _opt('scale_shortside')
     params = get_params(opt, (64, 48), np.random.default_rng(0))
     out = apply_transform(opt, _img(64, 48), params)
-    # reference truncates: int(target * longside / shortside)
-    assert out.size == (int(32 * 64 / 48), 32)
+    assert out.size == (int(32 * 64 / 48), 48)
 
 
 def test_none_rounds_to_32():
