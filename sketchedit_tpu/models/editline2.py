@@ -93,6 +93,26 @@ def edit(params, image, sketch, *, config: EditLine2Config = EditLine2Config()):
     return composed, soft
 
 
+def edit_u8(params, image_u8, sketch_u8, *,
+            config: EditLine2Config = EditLine2Config()):
+    """Edit from raw uint8 inputs: decode-side normalization fused into the
+    device program (the host ships 4x fewer bytes than f32). Returns
+    (composed_u8 RGB, mask_u8 grayscale) — the denormalization is fused
+    too, so one device invocation goes uint8 -> uint8.
+
+    image_u8: (B, H, W, 3) uint8; sketch_u8: (B, H, W, 1) uint8 (0 = no
+    stroke), matching the reference's `(x/255 - .5)/.5` and `>0` prep.
+    """
+    dt = jnp.dtype(config.compute_dtype)
+    image = image_u8.astype(dt) / 127.5 - 1.0
+    sketch = (sketch_u8 > 0).astype(dt)
+    composed, mask = edit(params, image, sketch, config=config)
+    composed_u8 = jnp.round(
+        (jnp.clip(composed, -1, 1) + 1.0) * 127.5).astype(jnp.uint8)
+    mask_u8 = jnp.round(jnp.clip(mask, 0, 1) * 255.0).astype(jnp.uint8)
+    return composed_u8, mask_u8
+
+
 def make_edit_fn(params, *, config: EditLine2Config = EditLine2Config(),
                  donate: bool = False):
     """jit-compiled closure over params; one compile per input shape."""
