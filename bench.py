@@ -47,12 +47,20 @@ def main():
     params = editline2.init_params(jax.random.PRNGKey(0))
 
     rs = np.random.RandomState(0)
-    image = jax.numpy.asarray(
-        rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
-    sketch = jax.numpy.asarray(
-        (rs.rand(BATCH, SIZE, SIZE, 1) > 0.95).astype(np.float32))
-
-    fn = jax.jit(lambda p, i, s: editline2.edit(p, i, s, config=config))
+    use_u8 = os.environ.get("BENCH_U8", "0") == "1"
+    if use_u8:
+        image = jax.numpy.asarray(
+            (rs.rand(BATCH, SIZE, SIZE, 3) * 255).astype(np.uint8))
+        sketch = jax.numpy.asarray(
+            ((rs.rand(BATCH, SIZE, SIZE, 1) > 0.95) * 255).astype(np.uint8))
+        fn = jax.jit(
+            lambda p, i, s: editline2.edit_u8(p, i, s, config=config))
+    else:
+        image = jax.numpy.asarray(
+            rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
+        sketch = jax.numpy.asarray(
+            (rs.rand(BATCH, SIZE, SIZE, 1) > 0.95).astype(np.float32))
+        fn = jax.jit(lambda p, i, s: editline2.edit(p, i, s, config=config))
 
     mode = os.environ.get("BENCH_MODE", "stream")
     jnp = jax.numpy
@@ -68,7 +76,10 @@ def main():
             composed = image
             for _ in range(n):
                 composed, _mask = fn(params, image, sketch)
-                image = jnp.clip(composed, -1, 1).astype(image.dtype)
+                if use_u8:
+                    image = composed
+                else:
+                    image = jnp.clip(composed, -1, 1).astype(image.dtype)
             return checksum(composed)
 
         run(image, WARMUP)
@@ -80,9 +91,14 @@ def main():
         # inputs; dispatch overlaps with device compute. Every output is
         # reduced on device and ALL checksums are fetched, so each batch's
         # execution is provably forced — no result can be elided.
-        images = [jnp.asarray(
-            rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
-            for _ in range(ITERS)]
+        if use_u8:
+            images = [jnp.asarray(
+                (rs.rand(BATCH, SIZE, SIZE, 3) * 255).astype(np.uint8))
+                for _ in range(ITERS)]
+        else:
+            images = [jnp.asarray(
+                rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
+                for _ in range(ITERS)]
         for _ in range(WARMUP):
             checksum(fn(params, images[0], sketch)[0])
         t0 = time.perf_counter()

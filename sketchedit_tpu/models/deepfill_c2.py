@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from sketchedit_tpu.ops.gated_conv import (
     gated_conv2d, gated_deconv2d, init_conv_params)
-from sketchedit_tpu.ops.image import avg_pool2d, max_pool2d, nearest_resize
+from sketchedit_tpu.ops.image import avg_pool2d
 from sketchedit_tpu.ops.attention import contextual_attention
 
 CNUM = 48

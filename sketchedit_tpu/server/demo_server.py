@@ -136,20 +136,25 @@ class DemoApp:
 
         img_r = img.resize((w_t, h_t))
         sk_r = sketch.convert("L").resize((w_t, h_t))
-        image = (np.asarray(img_r, np.float32) / 255.0 - 0.5) / 0.5
-        line = (np.asarray(sk_r, np.float32) > 0).astype(np.float32)
 
         if self.face_crop:
             from sketchedit_tpu.server.composite import face_crop_edit
-            result = face_crop_edit(self.pipeline, image,
-                                    line[:, :, None])
+            image = (np.asarray(img_r, np.float32) / 255.0 - 0.5) / 0.5
+            line = (np.asarray(sk_r, np.float32) > 0).astype(np.float32)
+            result = face_crop_edit(self.pipeline, image, line[:, :, None])
+            result = np.clip(result.astype(np.float32), -1, 1)
+            result_u8 = ((result + 1) / 2 * 255).astype(np.uint8)
         else:
+            # fused uint8 path: normalization runs on-device
+            image_u8 = np.asarray(img_r, np.uint8)
+            sk_u8 = np.asarray(sk_r, np.uint8)[:, :, None]
             with self.lock:
-                composed, _mask = self.pipeline(image[None],
-                                                line[None, :, :, None])
-            result = composed[0]
-        result = np.clip(result.astype(np.float32), -1, 1)
-        result_u8 = ((result + 1) / 2 * 255).astype(np.uint8)
+                composed, _mask = self.pipeline(image_u8[None],
+                                                sk_u8[None])
+            result_u8 = np.asarray(composed[0])
+            if result_u8.dtype != np.uint8:   # float pipeline (tests)
+                result_u8 = ((np.clip(result_u8.astype(np.float32), -1, 1)
+                              + 1) / 2 * 255).astype(np.uint8)
         out = Image.fromarray(result_u8).resize((w_raw, h_raw))
         out.save(os.path.join(self.static_root, "results", name))
         if save_to_input:
