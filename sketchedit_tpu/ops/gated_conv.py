@@ -79,12 +79,41 @@ def gated_conv2d(params, x, *, stride: int = 1, rate: int = 1,
     return _activate(a, activation) * jax.nn.sigmoid(g)
 
 
+def _expand_deconv_weights(w):
+    """3x3 kernel -> the 4-tap-per-dim kernel whose lhs-dilated conv equals
+    nearest-x2-upsample + 3x3 conv exactly.
+
+    Derivation: out(2i+a) = sum_dy w[dy] * x((2i+a+dy-1)//2) collapses to a
+    2-tap filter per output phase; embedding both phases in one
+    lhs_dilation=2 conv gives taps [w0, w0+w1, w1+w2, w2] along each dim.
+    """
+    def taps(v):        # combine along leading axis (len 3 -> 4)
+        return jnp.stack([v[0], v[0] + v[1], v[1] + v[2], v[2]], 0)
+    wr = taps(w)                          # rows: (4,3,Ci,Co)
+    wc = taps(jnp.moveaxis(wr, 1, 0))     # cols: (4,4,Ci,Co) [col-major]
+    return jnp.moveaxis(wc, 1, 0)
+
+
 def gated_deconv2d(params, x, *, activation: str | None = "elu",
                    precision=None):
-    """Nearest x2 upsample + 3x3 gated conv (reference gen_deconv)."""
-    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    return gated_conv2d(params, x, stride=1, rate=1, activation=activation,
-                        precision=precision)
+    """x2 nearest upsample + 3x3 gated conv (reference gen_deconv,
+    utils.py:35-51), computed as ONE lhs-dilated convolution — the
+    upsampled intermediate (4x the activation bytes) never materializes.
+    Numerically identical up to fp add-order within the combined taps.
+    """
+    w = params["w"]
+    assert w.shape[0] == 3 and w.shape[1] == 3, "gen_deconv is always 3x3"
+    w4 = _expand_deconv_weights(w).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, w4, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=_DIMNUMS, precision=precision,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + params["b"].astype(x.dtype)
+    cout = w.shape[-1]
+    if cout == 3 or activation is None:
+        return y
+    a, g = jnp.split(y, 2, axis=-1)
+    return _activate(a, activation) * jax.nn.sigmoid(g)
 
 
 def leaky_conv2d(params, x, *, stride: int = 2, negative_slope: float = 0.01,
