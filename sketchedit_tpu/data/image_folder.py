@@ -37,3 +37,32 @@ def make_dataset(directory, recursive: bool = True, read_cache: bool = False,
         with open(cache, 'w') as f:
             f.write('\n'.join(images))
     return images[:max_dataset_size]
+
+
+class ImageFolder:
+    """Generic image-directory dataset (reference image_folder.py:66-93):
+    recursive listing + per-item PIL load, optional transform."""
+
+    def __init__(self, root, transform=None, return_paths=False):
+        imgs = make_dataset(root)
+        if not imgs:
+            raise RuntimeError(
+                f"Found 0 images in: {root}\n"
+                f"Supported extensions: {','.join(IMG_EXTENSIONS)}")
+        self.root = root
+        self.imgs = imgs
+        self.transform = transform
+        self.return_paths = return_paths
+
+    def __getitem__(self, index):
+        from PIL import Image
+        path = self.imgs[index]
+        img = Image.open(path).convert('RGB')
+        if self.transform is not None:
+            img = self.transform(img)
+        if self.return_paths:
+            return img, path
+        return img
+
+    def __len__(self):
+        return len(self.imgs)

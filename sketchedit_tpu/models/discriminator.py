@@ -4,10 +4,11 @@ The reference release references but does not ship a discriminator
 (SURVEY.md §2.9: `define_D` needs a models/networks/discriminator.py that
 does not exist; only the `dis_conv` primitive and the call signature
 `netD(fake_and_real, line, cc=...)` survive — editline2_model.py:386).
-This implements the standard SN-PatchGAN used by the DeepFill family with
-that exact call surface: input is `concat([image(3), line(1), cc(3)])`,
-six 5x5/stride-2 leaky-relu convs with spectral normalization, patch
-logits out.
+This implements the standard SN-PatchGAN of the DeepFill family ("Free-Form
+Image Inpainting with Gated Convolution", Yu et al. 2019, arXiv:1806.03589)
+with that exact call surface: input is `concat([image(3), line(1),
+cc(3)])`, six 5x5/stride-2 leaky-relu convs with spectral normalization,
+patch logits out.
 
 Spectral norm is functional: one power-iteration step per call using `u`
 vectors carried in the params tree (updated outside the gradient path).
