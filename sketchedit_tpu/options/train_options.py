@@ -39,6 +39,10 @@ class TrainOptions(BaseOptions):
                             default=True)
         parser.add_argument('--filt_maskim', action='store_true')
         parser.add_argument('--no_detach', action='store_true')
+        parser.add_argument('--remat', action='store_true',
+                            help='rematerialize the generator forward in '
+                                 'the backward pass (halves activation '
+                                 'memory for larger train batches)')
         # partial updates (get_param_list groups)
         parser.add_argument('--update_part', type=str, default='all')
         parser.add_argument('--load_pretrained_mask', type=str)

@@ -56,6 +56,10 @@ class TrainConfig:
     # gradients through this norm-free 17-layer stack; kaiming keeps signal
     # scale healthy. 'xavier' remains available for strict compat.
     init_type: str = "kaiming"
+    # Rematerialize the generator forward in the backward pass — trades
+    # ~30% step time for roughly halved activation memory; enables larger
+    # per-chip train batches at 256^2+.
+    remat: bool = False
 
     @property
     def lax_precision(self):
@@ -254,8 +258,13 @@ def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
     opt_d = optax.adam(cfg.d_lr(), b1=cfg.beta1, b2=cfg.beta2)
 
     # ---- generator update ----
+    gen_fwd = generate_fake_train
+    if cfg.remat:
+        gen_fwd = jax.checkpoint(
+            generate_fake_train, static_argnums=(3,))
+
     def g_total(gen_params):
-        gen = generate_fake_train(gen_params, batch, flag, cfg)
+        gen = gen_fwd(gen_params, batch, flag, cfg)
         G = g_image_loss(params["D"], gen, batch, cfg, vgg_params)
         return sum(G.values()), G
 

@@ -52,7 +52,7 @@ def main():
         no_vgg_loss=opt.no_vgg_loss or load_vgg_params() is None,
         filt_maskim=opt.filt_maskim, no_detach=opt.no_detach,
         update_part=opt.update_part, lr=opt.lr, beta1=opt.beta1,
-        beta2=opt.beta2, no_TTUR=opt.no_TTUR)
+        beta2=opt.beta2, no_TTUR=opt.no_TTUR, remat=opt.remat)
     vgg_params = None if cfg.no_vgg_loss else load_vgg_params()
 
     state = init_train_state(jax.random.PRNGKey(0), cfg)
