@@ -1,0 +1,115 @@
+"""Batch-serving HTTP API (production path).
+
+POST /edit with a JSON body {"image": <base64 PNG/JPEG>, "sketch":
+<base64 PNG>} returns {"image": <base64 PNG of the edit>, "mask":
+<base64 PNG of the predicted mask>}. Concurrent requests are dynamically
+coalesced into large device batches (server/executor.py), which roughly
+doubles per-chip throughput vs batch-1 dispatch.
+
+    python serve_api.py --name celeb --joint_train_inp --use_cam \
+        --pool_type max --dataset_mode base --port 9999 \
+        --compute_dtype bfloat16 --precision default
+"""
+
+import base64
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from PIL import Image
+
+EDIT_SIZE = 256
+
+
+def main():
+    from sketchedit_tpu.options.test_options import TestOptions
+
+    class ApiOptions(TestOptions):
+        def initialize(self, parser):
+            parser = TestOptions.initialize(self, parser)
+            parser.add_argument('--max_batch', type=int, default=64)
+            parser.add_argument('--max_wait_ms', type=float, default=5.0)
+            parser.set_defaults(dataset_mode='base')
+            return parser
+
+    opt = ApiOptions().parse()
+
+    from sketchedit_tpu.runner import build_pipeline
+    from sketchedit_tpu.server.executor import BatchingExecutor
+
+    pipeline = build_pipeline(opt)
+    executor = BatchingExecutor(pipeline, max_batch=opt.max_batch,
+                                max_wait_ms=opt.max_wait_ms)
+    print("warming batch buckets (one compile per bucket size)...")
+    executor.warmup((EDIT_SIZE, EDIT_SIZE))
+    print("warmup done")
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            if self.path != "/edit":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                img = Image.open(io.BytesIO(
+                    base64.b64decode(payload["image"]))).convert("RGB")
+                sk = Image.open(io.BytesIO(
+                    base64.b64decode(payload["sketch"]))).convert("L")
+                w0, h0 = img.size
+                img_u8 = np.asarray(
+                    img.resize((EDIT_SIZE, EDIT_SIZE)), np.uint8)
+                sk_u8 = np.asarray(
+                    sk.resize((EDIT_SIZE, EDIT_SIZE)), np.uint8)[:, :, None]
+
+                composed, mask = executor.submit(img_u8, sk_u8).result(
+                    timeout=120)
+                composed = np.asarray(composed)
+                if composed.dtype != np.uint8:
+                    composed = ((np.clip(composed.astype(np.float32), -1, 1)
+                                 + 1) * 127.5).astype(np.uint8)
+                    mask = (np.clip(np.asarray(mask, np.float32), 0, 1)
+                            * 255).astype(np.uint8)
+                out_img = Image.fromarray(composed).resize((w0, h0))
+                out_mask = Image.fromarray(
+                    np.asarray(mask)[:, :, 0]).resize((w0, h0))
+
+                def b64(im):
+                    buf = io.BytesIO()
+                    im.save(buf, format="PNG")
+                    return base64.b64encode(buf.getvalue()).decode()
+
+                body = json.dumps({"image": b64(out_img),
+                                   "mask": b64(out_mask)}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:                  # pragma: no cover
+                import traceback
+                traceback.print_exc()
+                self.send_error(500, str(e)[:200])
+
+    class Server(ThreadingHTTPServer):
+        request_queue_size = 128        # survive thundering-herd accepts
+
+    server = Server(("0.0.0.0", opt.port), Handler)
+    print(f"serve_api listening on :{opt.port} "
+          f"(dynamic batching up to {opt.max_batch})")
+    try:
+        server.serve_forever()
+    finally:
+        executor.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Dynamic-batching serving executor.
+
+Measured on v5e-1, the edit pipeline's throughput roughly doubles from
+batch 32 to batch 128 (the small-channel tail layers fill the vector lanes
+with batch). This executor exploits that: concurrent callers enqueue single
+edits; a dispatcher thread coalesces them into one device batch (padding to
+a bucket size so each bucket compiles once), runs the jitted program, and
+scatters results back to the callers' futures.
+
+Usage:
+    ex = BatchingExecutor(pipeline, max_batch=64, max_wait_ms=5)
+    fut = ex.submit(image_u8, sketch_u8)      # thread-safe
+    composed, mask = fut.result()
+    ex.shutdown()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+# Coarse buckets: every distinct padded batch size is a separate XLA
+# compile, so fewer buckets = fewer cold-start stalls (padding waste is
+# cheap next to a recompile).
+_BUCKETS = (1, 8, 32, 128)
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    for b in _BUCKETS:
+        if b >= n:
+            return min(b, max_batch)
+    return max_batch
+
+
+class BatchingExecutor:
+    def __init__(self, pipeline, *, max_batch: int = 64,
+                 max_wait_ms: float = 5.0):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def warmup(self, hw: tuple[int, int] = (256, 256), channels: int = 3):
+        """Pre-compile every reachable bucket size for one spatial shape
+        (including max_batch itself, which _bucket clamps to)."""
+        h, w = hw
+        sizes = sorted({b for b in _BUCKETS if b <= self.max_batch}
+                       | {self.max_batch})
+        for b in sizes:
+            img = np.zeros((h, w, channels), np.uint8)
+            sk = np.zeros((h, w, 1), np.uint8)
+            futs = [self.submit(img, sk) for _ in range(b)]
+            for f in futs:
+                f.result(timeout=600)
+
+    def submit(self, image: np.ndarray, sketch: np.ndarray) -> Future:
+        """image: (H, W, 3); sketch: (H, W, 1). All requests in flight must
+        share one spatial size (the demo's /8 bucketing upstream ensures
+        this); mixed sizes are dispatched in separate batches."""
+        fut: Future = Future()
+        self._q.put((image, sketch, fut))
+        return fut
+
+    def _collect(self):
+        """Block for one request, then drain compatible ones briefly."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        items = [first]
+        shape = first[0].shape
+        deadline = threading.Event()
+        timer = threading.Timer(self.max_wait, deadline.set)
+        timer.start()
+        try:
+            while len(items) < self.max_batch and not deadline.is_set():
+                try:
+                    nxt = self._q.get(timeout=self.max_wait / 4)
+                except queue.Empty:
+                    continue
+                if nxt[0].shape != shape:
+                    # different size: flush current batch, re-queue this one
+                    self._q.put(nxt)
+                    break
+                items.append(nxt)
+        finally:
+            timer.cancel()
+        return items
+
+    def _loop(self):
+        while not self._stop.is_set():
+            items = self._collect()
+            if not items:
+                continue
+            n = len(items)
+            b = _bucket(n, self.max_batch)
+            images = np.stack([it[0] for it in items]
+                              + [items[-1][0]] * (b - n))
+            sketches = np.stack([it[1] for it in items]
+                                + [items[-1][1]] * (b - n))
+            try:
+                composed, mask = self.pipeline(images, sketches)
+                for i, (_, _, fut) in enumerate(items):
+                    fut.set_result((composed[i], mask[i]))
+            except Exception as e:                # pragma: no cover
+                for _, _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)

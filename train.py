@@ -91,6 +91,20 @@ def main():
     iter_counter = IterationCounter(opt, len(dataloader.dataset))
     key = jax.random.PRNGKey(opt.niter)
 
+    # failure handling: on SIGTERM/SIGINT, save a resume-exact checkpoint
+    # before exiting (preemption-safe training)
+    import signal
+
+    def _save_and_exit(signum, _frame):
+        print(f"signal {signum}: checkpointing before exit")
+        ckpt.save_pipeline(state["params"], "latest", opt)
+        ckpt.save_train_state(jax.device_get(state), opt)
+        iter_counter.record_current_iter()
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _save_and_exit)
+    signal.signal(signal.SIGINT, _save_and_exit)
+
     for epoch in iter_counter.training_epochs():
         iter_counter.record_epoch_start(epoch)
         for batch in dataloader:
