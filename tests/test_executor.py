@@ -22,7 +22,7 @@ class RecordingPipeline:
 
 def test_bucket_rounding():
     assert _bucket(1, 64) == 1
-    assert _bucket(3, 64) == 4
+    assert _bucket(3, 64) == 8     # coarse buckets: 1, 8, 32, 128
     assert _bucket(33, 64) == 64
     assert _bucket(200, 64) == 64
 
