@@ -120,4 +120,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the tunneled TPU occasionally wedges transiently (device-lock churn);
+    # one retry after a cool-down keeps the recorded benchmark honest
+    # without masking real failures.
+    try:
+        main()
+    except Exception as e:
+        import traceback
+        print(f"bench attempt 1 failed ({e}); retrying in 60s",
+              file=sys.stderr)
+        traceback.print_exc()
+        time.sleep(60)
+        main()
