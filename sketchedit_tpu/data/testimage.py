@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 from PIL import Image
 
 from sketchedit_tpu.data.transforms import image_to_array, binarize_sketch

@@ -22,8 +22,6 @@ which XLA keeps in fp32 via ``preferred_element_type``.
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -21,8 +21,6 @@ get_param_list groups. This module realizes them TPU-first:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
