@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from sketchedit_tpu.ops.gated_conv import (
     gated_conv2d, gated_deconv2d, init_conv_params)
+from sketchedit_tpu.ops.packed_tail import packed_decoder_tail
 from sketchedit_tpu.ops.image import avg_pool2d
 from sketchedit_tpu.ops.attention import contextual_attention
 
@@ -134,6 +135,20 @@ def _run(params, x, specs, precision):
     return x
 
 
+def _run_decoder(params, x, specs, precision):
+    """Decoder with the final upsample->conv->head segment on the packed
+    grid (ops/packed_tail.py) — exact math, better lane utilization."""
+    x = _run(params, x, specs[:-3], precision)
+    # The packed tail quadruples tail FLOPs for 4x better lane utilization
+    # — a win while the batch axis leaves lanes idle (B < 64 measured
+    # crossover on v5e), a loss once batch already fills them.
+    if x.shape[0] < 64:
+        up, mid, head = (specs[-3][0], specs[-2][0], specs[-1][0])
+        return packed_decoder_tail(params[up], params[mid], params[head], x,
+                                   precision=precision)
+    return _run(params, x, specs[-3:], precision)
+
+
 def _attention(x, mask, config: DeepFillConfig, precision):
     """Contextual attention over pm features, gated by the hole mask pooled
     to feature resolution (editline_g.py:203-207)."""
@@ -189,8 +204,9 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     lat = jnp.broadcast_to(lat, (B, hs, ws, lat.shape[-1]))
     h = jnp.concatenate([h, lat], axis=-1)
 
-    x_stage1 = jnp.tanh(_run(params, h, _spec_decoder("conv", 4*CNUM),
-                             precision))
+    x_stage1 = jnp.tanh(_run_decoder(params, h,
+                                     _spec_decoder("conv", 4*CNUM),
+                                     precision))
 
     # composite for stage 2
     if not config.no_mask_coarse:
@@ -206,8 +222,9 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     pm = _run(params, pm, _SPEC_PM_POST, precision)
 
     h = jnp.concatenate([x_hallu, pm], axis=-1)
-    x_stage2 = jnp.tanh(_run(params, h, _spec_decoder("allconv", 4*CNUM),
-                             precision))
+    x_stage2 = jnp.tanh(_run_decoder(params, h,
+                                     _spec_decoder("allconv", 4*CNUM),
+                                     precision))
     return x_stage1, x_stage2
 
 
