@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from sketchedit_tpu.ops.gated_conv import (
     gated_conv2d, gated_deconv2d, init_conv_params)
-from sketchedit_tpu.ops.packed_tail import packed_decoder_tail
+from sketchedit_tpu.ops.packed_tail import (
+    packed_decoder_tail, packed_encoder_front)
 from sketchedit_tpu.ops.image import avg_pool2d
 from sketchedit_tpu.ops.attention import contextual_attention
 
@@ -135,6 +136,17 @@ def _run(params, x, specs, precision):
     return x
 
 
+def _run_encoder(params, x, specs, precision):
+    """Encoder with the full-resolution front pair (conv1 + stride-2
+    conv2) on the packed grid when the batch axis leaves MXU lanes idle."""
+    if x.shape[0] < 64:
+        n1, n2 = specs[0][0], specs[1][0]
+        x = packed_encoder_front(params[n1], params[n2], x,
+                                 precision=precision)
+        return _run(params, x, specs[2:], precision)
+    return _run(params, x, specs, precision)
+
+
 def _run_decoder(params, x, specs, precision):
     """Decoder with the final upsample->conv->head segment on the packed
     grid (ops/packed_tail.py) — exact math, better lane utilization."""
@@ -189,8 +201,8 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     x2cat = jnp.concatenate([x2, guide2, mask2], axis=-1)
 
     # stage 1: coarse encoder ‖ masked-region latent encoder
-    h = _run(params, xcat, _spec_encoder("conv", 5), precision)
-    h2 = _run(params, x2cat, _spec_encoder("wconv", 5), precision)
+    h = _run_encoder(params, xcat, _spec_encoder("conv", 5), precision)
+    h2 = _run_encoder(params, x2cat, _spec_encoder("wconv", 5), precision)
     hs, ws = h2.shape[1], h2.shape[2]
     if config.pool_type == "avg":
         lat = jnp.mean(h2, axis=(1, 2), keepdims=True)
@@ -214,9 +226,9 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     else:
         xnow = x_stage1
 
-    x_hallu = _run(params, xnow, _SPEC_XCONV, precision)
+    x_hallu = _run_encoder(params, xnow, _SPEC_XCONV, precision)
 
-    pm = _run(params, xnow, _SPEC_PMCONV, precision)
+    pm = _run_encoder(params, xnow, _SPEC_PMCONV, precision)
     if config.use_cam:
         pm = _attention(pm, mask, config, precision)
     pm = _run(params, pm, _SPEC_PM_POST, precision)

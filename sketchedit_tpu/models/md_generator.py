@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from sketchedit_tpu.ops.gated_conv import (
     gated_conv2d, gated_deconv2d, init_conv_params)
-from sketchedit_tpu.ops.packed_tail import packed_decoder_tail
+from sketchedit_tpu.ops.packed_tail import (
+    packed_decoder_tail, packed_encoder_front)
 
 CNUM = 48
 
@@ -110,7 +111,15 @@ def apply(params, image, sketch, *, precision=None):
       (soft_mask (B,H,W,1) in (0,1), mask_image (B,H,W,3) in (-1,1)).
     """
     x = jnp.concatenate([image, sketch], axis=-1)
-    for spec in _ENCODER[:-1]:
+    if x.shape[0] < 64:
+        # packed front: see ops/packed_tail.packed_encoder_front
+        x = packed_encoder_front(params["conv1"],
+                                 params["conv2_downsample"], x,
+                                 precision=precision)
+        start = 2
+    else:
+        start = 0
+    for spec in _ENCODER[start:-1]:
         name, _cin, _cout, _k, stride, rate, act, _d = spec
         x = gated_conv2d(params[name], x, stride=stride, rate=rate,
                          activation=act, precision=precision)

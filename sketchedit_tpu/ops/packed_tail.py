@@ -31,25 +31,37 @@ from jax import lax
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
-def _build_maps():
-    """Constant scatter maps from a 3x3 kernel to packed kernels."""
-    t_dec = np.zeros((3, 3, 4, 3, 3), np.float32)      # (dy',dx',phase,dy,dx)
-    t_s2d = np.zeros((3, 3, 4, 4, 3, 3), np.float32)   # (dy',dx',pin,pout,dy,dx)
+def _build_maps(k: int = 3):
+    """Constant scatter maps from a kxk kernel to packed kernels."""
+    half = k // 2
+    t_dec = np.zeros((3, 3, 4, k, k), np.float32)      # (dy',dx',phase,dy,dx)
+    t_s2d = np.zeros((3, 3, 4, 4, k, k), np.float32)   # (dy',dx',pin,pout,dy,dx)
     for a in range(2):
         for b in range(2):
             pout = a * 2 + b
-            for dy in range(3):
-                zy = a + dy - 1
+            for dy in range(k):
+                zy = a + dy - half
                 dly, py = zy // 2, zy % 2
-                for dx in range(3):
-                    zx = b + dx - 1
+                for dx in range(k):
+                    zx = b + dx - half
                     dlx, px = zx // 2, zx % 2
-                    t_dec[dly + 1, dlx + 1, pout, dy, dx] += 1.0
+                    if k == 3:
+                        t_dec[dly + 1, dlx + 1, pout, dy, dx] += 1.0
                     t_s2d[dly + 1, dlx + 1, py * 2 + px, pout, dy, dx] += 1.0
     return t_dec, t_s2d
 
 
-_T_DECONV, _T_S2D = _build_maps()
+_T_DECONV, _T_S2D = _build_maps(3)
+_, _T_S2D5 = _build_maps(5)
+
+# stride-2 pad-1 3x3 conv consuming packed input: dy -> (kernel row, phase)
+_T_STRIDE2 = np.zeros((2, 2, 4, 3, 3), np.float32)
+_ROWMAP = {0: (0, 1), 1: (1, 0), 2: (1, 1)}
+for _dy in range(3):
+    _kmy, _py = _ROWMAP[_dy]
+    for _dx in range(3):
+        _kmx, _px = _ROWMAP[_dx]
+        _T_STRIDE2[_kmy, _kmx, _py * 2 + _px, _dy, _dx] += 1.0
 
 
 def deconv_packed_weights(w):
@@ -61,11 +73,29 @@ def deconv_packed_weights(w):
 
 
 def s2d_conv_weights(w):
-    """(3,3,Ci,Co) -> (3,3,4Ci,4Co): the same conv on the packed grid."""
-    ci, co = w.shape[2], w.shape[3]
-    t = jnp.asarray(_T_S2D, w.dtype)
+    """(k,k,Ci,Co), k in {3,5} -> (3,3,4Ci,4Co): the same stride-1 conv on
+    the packed grid (a 5x5's taps still span only +-1 packed rows)."""
+    k, _, ci, co = w.shape
+    t = jnp.asarray(_T_S2D if k == 3 else _T_S2D5, w.dtype)
     wp = jnp.einsum("YXQPab,abio->YXQiPo", t, w)
     return wp.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def s2d_stride2_weights(w):
+    """(3,3,Ci,Co) stride-2 pad-1 conv consuming packed input ->
+    (2,2,4Ci,Co) stride-1 kernel with padding ((1,0),(1,0)); the output is
+    the ordinary (unpacked) half-resolution feature map."""
+    ci, co = w.shape[2], w.shape[3]
+    t = jnp.asarray(_T_STRIDE2, w.dtype)
+    wp = jnp.einsum("YXQab,abio->YXQio", t, w)
+    return wp.reshape(2, 2, 4 * ci, co)
+
+
+def space_to_depth2x(x):
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // 2, W // 2, 4 * C)
 
 
 def depth_to_space2x(x, out_ch: int):
@@ -92,6 +122,26 @@ def _gate_packed(y, cout: int, activation: str):
     act = jax.nn.elu if activation == "elu" else jax.nn.relu
     out = act(a) * jax.nn.sigmoid(g)
     return out.reshape(B, h, w, 4 * (cout // 2))
+
+
+def packed_encoder_front(p1, p2, x, *, precision=None):
+    """conv1 (5x5 or 3x3, stride 1, gated) + conv2_downsample (3x3 stride 2,
+    gated) computed on the packed half-resolution grid; input is the raw
+    full-resolution tensor, output the ordinary half-res gated features.
+    Exact rewrite of the encoder front (the 256^2-resolution layers whose
+    3-5 input channels starve the MXU lanes)."""
+    cout1 = p1["w"].shape[-1]
+    cout2 = p2["w"].shape[-1]
+    xp = space_to_depth2x(x)
+    h = _conv(xp, s2d_conv_weights(p1["w"]), p1["b"], precision)
+    h = _gate_packed(h, cout1, "elu")
+    y = lax.conv_general_dilated(
+        h, s2d_stride2_weights(p2["w"]).astype(h.dtype), (1, 1),
+        [(1, 0), (1, 0)], dimension_numbers=_DIMNUMS, precision=precision,
+        preferred_element_type=jnp.float32,
+    ).astype(h.dtype) + p2["b"].astype(h.dtype)
+    a, g = y[..., :cout2 // 2], y[..., cout2 // 2:]
+    return jax.nn.elu(a) * jax.nn.sigmoid(g)
 
 
 def packed_decoder_tail(p_up, p_mid, p_head, x, *, precision=None):
