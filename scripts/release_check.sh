@@ -1,0 +1,34 @@
+#!/bin/bash
+# End-of-round release checklist: everything the driver/judge exercises.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "=== 1/6 unit + parity suite (CPU) ==="
+python -m pytest tests/ -q
+
+echo "=== 2/6 single-chip entry compile check ==="
+python - <<'EOF'
+import __graft_entry__ as ge
+import jax, jax.numpy as jnp
+fn, args = ge.entry()
+out = jax.jit(fn)(*args)
+print("entry ok", float(jnp.sum(out[0].astype(jnp.float32))))
+EOF
+
+echo "=== 3/6 multi-chip dry run (8 virtual devices) ==="
+python -c "import __graft_entry__ as ge; ge.dryrun_multichip(8)"
+
+echo "=== 4/6 benchmark (real TPU) ==="
+python bench.py
+
+echo "=== 5/6 release launch script ==="
+python datasets/stage_reference_assets.py >/dev/null 2>&1 || true
+if [ -d datasets/face_release/images ]; then
+    sh test_celeb.sh | tail -1
+else
+    echo "skipped (no fixtures staged)"
+fi
+
+echo "=== 6/6 git status ==="
+git status --short
+echo "release check complete"
