@@ -101,14 +101,48 @@ def _core_fwd(Q, K, V, keep, softmax_scale):
 
 
 def _core_bwd(softmax_scale, res, g):
-    """Backward via the dense formulation — exact, one materialized
-    (B, N, P) weight tensor; fine at training resolutions. A fused Pallas
-    backward is a future optimization."""
+    """Backward chunked over query blocks: peak memory is B x CHUNK x P
+    instead of B x N x P (63MB/image at 512^2), so high-resolution training
+    never materializes the full attention matrix. Exact softmax backward:
+
+        S = (QK^T) * keep * scale ; P = softmax(S) ; O = P V
+        dV += P^T dO ; dP = dO V^T ; dS = P*(dP - rowsum(dP*P))
+        dQ = (dS*keep*scale) K ; dK += (dS*keep*scale)^T Q
+    """
     Q, K, V, keep = res
-    _, vjp = jax.vjp(
-        lambda q, k, v, m: _attention_core_dense(q, k, v, m, softmax_scale),
-        Q, K, V, keep)
-    return vjp(g)
+    B, N, D = Q.shape
+    CHUNK = 512
+    n_chunks = _round_up(N, CHUNK) // CHUNK
+    pad = n_chunks * CHUNK - N
+    Qp = jnp.pad(Q, ((0, 0), (0, pad), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    Qc = Qp.reshape(B, n_chunks, CHUNK, D).transpose(1, 0, 2, 3)
+    gc = gp.reshape(B, n_chunks, CHUNK, D).transpose(1, 0, 2, 3)
+
+    Kf = K.astype(jnp.float32)
+    Vf = V.astype(jnp.float32)
+    gate = keep.astype(jnp.float32)[:, None, :] * softmax_scale
+
+    def chunk_grads(args):
+        q, dO = args
+        qf = q.astype(jnp.float32)
+        dOf = dO.astype(jnp.float32)
+        S = jnp.einsum("bnd,bpd->bnp", qf, Kf) * gate
+        P = jax.nn.softmax(S, axis=-1)
+        dV = jnp.einsum("bnp,bnd->bpd", P, dOf)
+        dP = jnp.einsum("bnd,bpd->bnp", dOf, Vf)
+        dS = P * (dP - jnp.sum(dP * P, axis=-1, keepdims=True))
+        dSg = dS * gate
+        dQ = jnp.einsum("bnp,bpd->bnd", dSg, Kf)
+        dK = jnp.einsum("bnp,bnd->bpd", dSg, qf)
+        return dQ, dK, dV
+
+    dQc, dKc, dVc = jax.lax.map(chunk_grads, (Qc, gc))
+    dQ = dQc.transpose(1, 0, 2, 3).reshape(B, n_chunks * CHUNK, D)[:, :N]
+    dK = jnp.sum(dKc, axis=0)
+    dV = jnp.sum(dVc, axis=0)
+    return (dQ.astype(Q.dtype), dK.astype(K.dtype), dV.astype(V.dtype),
+            jnp.zeros_like(keep))
 
 
 _core_with_vjp.defvjp(_core_fwd, _core_bwd)
