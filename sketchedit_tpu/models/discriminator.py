@@ -52,6 +52,9 @@ def _spectral_normalize(p):
     u = p["u"]
     v = wm @ u
     v = v / (jnp.linalg.norm(v) + 1e-12)
+    # Detach BOTH power-iteration vectors (torch.nn.utils.spectral_norm
+    # semantics): only the direct w term in sigma = v^T W u carries gradient.
+    v = jax.lax.stop_gradient(v)
     u_new = wm.T @ v
     u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
     u_new = jax.lax.stop_gradient(u_new)
@@ -70,6 +73,9 @@ def apply(params, image, line, cc, *, precision=None, update_sn: bool = False):
     for name, _cin, _cout in _SPECS:
         p = params[name]
         w_sn, u_new = _spectral_normalize(p)
+        # slope 0.2 follows SN-PatchGAN (Yu et al. 2019) — a deliberate
+        # departure from the reference dis_conv primitive's F.leaky_relu
+        # default of 0.01 (utils.py:66), which was never exercised upstream.
         x = leaky_conv2d({"w": w_sn, "b": p["b"]}, x, stride=2,
                          negative_slope=0.2, precision=precision)
         new_params[name] = {"w": p["w"], "b": p["b"], "u": u_new}

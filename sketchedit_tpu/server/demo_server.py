@@ -102,6 +102,10 @@ async function nextExample() {{
 """
 
 
+# reference demo.py:24 declares (but never enforces) this cap; we enforce it
+MAX_NUM_EXAMPLES = 200
+
+
 class DemoApp:
     """Holds the pipeline, the example list, and the size-bucketed jit."""
 
@@ -184,6 +188,9 @@ class DemoApp:
             result_name = "result_" + maskname
             self.process_image(image, sketch, result_name)
             self.examples.insert(0, result_name)
+            # bound the session's example list (reference demo.py:24
+            # declares max_num_examples=200); drop the oldest beyond it
+            del self.examples[MAX_NUM_EXAMPLES:]
             self.version += 1
             return "/?idx=0"
         return f"/?idx={idx}"

@@ -37,11 +37,17 @@ def _bucket(n: int, max_batch: int) -> int:
 
 class BatchingExecutor:
     def __init__(self, pipeline, *, max_batch: int = 64,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_queue: int = 1024):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
-        self._q: queue.Queue = queue.Queue()
+        # bounded: a stalled device backs pressure up to callers (submit
+        # raises queue.Full) instead of growing an unbounded request list
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        # dispatcher-private slot for a size-mismatched request pulled out of
+        # a batch: putting it back on a bounded queue could deadlock (the
+        # dispatcher is the only consumer), so it is carried to the next batch
+        self._pending = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -64,15 +70,18 @@ class BatchingExecutor:
         share one spatial size (the demo's /8 bucketing upstream ensures
         this); mixed sizes are dispatched in separate batches."""
         fut: Future = Future()
-        self._q.put((image, sketch, fut))
+        self._q.put((image, sketch, fut), timeout=30.0)
         return fut
 
     def _collect(self):
         """Block for one request, then drain compatible ones briefly."""
-        try:
-            first = self._q.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        if self._pending is not None:
+            first, self._pending = self._pending, None
+        else:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                return []
         items = [first]
         shape = first[0].shape
         deadline = threading.Event()
@@ -85,8 +94,8 @@ class BatchingExecutor:
                 except queue.Empty:
                     continue
                 if nxt[0].shape != shape:
-                    # different size: flush current batch, re-queue this one
-                    self._q.put(nxt)
+                    # different size: flush current batch, carry this one
+                    self._pending = nxt
                     break
                 items.append(nxt)
         finally:

@@ -248,9 +248,13 @@ def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
     """One jitted G+D step. batch keys: image, gt, mask (sketch), edgegt,
     random_mask, random_mask2 — all NHWC float32."""
     params = state["params"]
-    kflag, _ = jax.random.split(key)
+    # The reference draws random.randint(0,2) independently inside each
+    # generate_fake call, so the G and D updates of one step see independent
+    # branch flags (editline2_model.py:340) — split the key accordingly.
+    kflag_g, kflag_d = jax.random.split(key)
     low = 0 if cfg.netg.joint_train_inp else 1
-    flag = jax.random.randint(kflag, (), low, 3)
+    flag = jax.random.randint(kflag_g, (), low, 3)
+    flag_d = jax.random.randint(kflag_d, (), low, 3)
 
     opt_g = optax.adam(cfg.g_lr(), b1=cfg.beta1, b2=cfg.beta2)
     opt_d = optax.adam(cfg.d_lr(), b1=cfg.beta1, b2=cfg.beta2)
@@ -287,7 +291,7 @@ def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
         def d_total(dt):
             d_full = {k: {**dt[k], "u": params["D"][k]["u"]}
                       for k in dt}
-            loss, aux = d_loss_fn(d_full, gen_params, batch, flag, cfg)
+            loss, aux = d_loss_fn(d_full, gen_params, batch, flag_d, cfg)
             return loss, aux
 
         (_d_sum, (d_fake, d_real, new_d)), d_grads = jax.value_and_grad(

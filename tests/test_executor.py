@@ -45,6 +45,67 @@ def test_executor_coalesces_and_scatters():
         ex.shutdown()
 
 
+def test_executor_mixed_size_herd():
+    """Many threads submitting several spatial sizes concurrently: every
+    caller gets its own result back, no deadlock with the bounded queue."""
+    pipe = RecordingPipeline()
+    ex = BatchingExecutor(pipe, max_batch=8, max_wait_ms=5, max_queue=16)
+    sizes = [4, 8, 16]
+    n_threads, per_thread = 12, 5
+    results = {}
+    errors = []
+
+    def worker(tid):
+        rs = np.random.RandomState(tid)
+        try:
+            for j in range(per_thread):
+                s = sizes[rs.randint(len(sizes))]
+                img = np.full((s, s, 3), tid * 100 + j, np.float32)
+                fut = ex.submit(img, np.zeros((s, s, 1), np.float32))
+                comp, _ = fut.result(timeout=30)
+                results[(tid, j)] = (img, comp)
+        except Exception as e:          # pragma: no cover
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=worker, args=(t,))
+                   for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        assert len(results) == n_threads * per_thread
+        for img, comp in results.values():
+            np.testing.assert_array_equal(comp, img * 2)
+    finally:
+        ex.shutdown()
+
+
+def test_executor_bounded_queue_backpressure():
+    """A full queue raises queue.Full at submit instead of growing."""
+    import queue as _queue
+    import pytest
+
+    class Blocking:
+        def __call__(self, images, sketches):
+            time.sleep(2.0)
+            return images, sketches
+
+    ex = BatchingExecutor(Blocking(), max_batch=1, max_wait_ms=1, max_queue=2)
+    # monkeypatch the submit timeout via direct put to keep the test fast
+    try:
+        img = np.zeros((4, 4, 3), np.float32)
+        sk = np.zeros((4, 4, 1), np.float32)
+        ex.submit(img, sk)
+        from concurrent.futures import Future
+        with pytest.raises(_queue.Full):
+            for _ in range(8):
+                ex._q.put((img, sk, Future()), timeout=0.05)
+    finally:
+        ex.shutdown()
+
+
 def test_executor_separates_mixed_sizes():
     pipe = RecordingPipeline()
     ex = BatchingExecutor(pipe, max_batch=8, max_wait_ms=20)

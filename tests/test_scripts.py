@@ -26,7 +26,7 @@ def test_export_torch_checkpoint(tmp_path):
                                       "export_torch_checkpoint.py"),
          "--src", str(tmp_path / "t" / "latest_net_M.npz"),
          "--dst", str(dst)],
-        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300)
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
 
     # the exported .pth loads into the actual reference MDGenerator
@@ -62,7 +62,7 @@ def test_convert_vgg19(tmp_path):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "convert_vgg19.py"),
          "--src", str(src), "--dst", str(dst)],
-        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300)
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
 
     from sketchedit_tpu.train.losses import load_vgg_params, vgg_loss

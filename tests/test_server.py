@@ -66,6 +66,24 @@ def test_post_mask_roundtrip(app):
     assert len(masks) == 1
 
 
+def test_example_list_capped_at_200(app):
+    from sketchedit_tpu.server import demo_server
+    app.examples = [f"e{i}.png" for i in range(demo_server.MAX_NUM_EXAMPLES)]
+    sk = Image.new("RGBA", (48, 64), (0, 0, 0, 0))
+    sk.putpixel((5, 5), (0, 0, 255, 255))
+    buf = io.BytesIO()
+    sk.save(buf, format="PNG")
+    data = "data:image/png;base64," + base64.b64encode(
+        buf.getvalue()).decode()
+    # need a real source image named like the head of the list
+    img = Image.fromarray(
+        (np.random.RandomState(2).rand(64, 48, 3) * 255).astype(np.uint8))
+    img.save(os.path.join(app.static_root, "images", "e0.png"))
+    app.handle_post({"imgname": ["e0.png"], "im_idx": ["0"], "mask": [data]})
+    assert len(app.examples) == demo_server.MAX_NUM_EXAMPLES
+    assert app.examples[0].startswith("result_")
+
+
 def test_change_example_cycles(app):
     redirect = app.handle_post({"changeim": ["1"], "im_idx": ["0"]})
     assert redirect == "/?idx=0"  # single example wraps around
