@@ -75,11 +75,37 @@ class TrainConfig:
     def train_maskim(self) -> bool:
         return self.update_part == "maskim"
 
+    # linear lr decay (--niter_decay, SPADE-style): full lr for
+    # lr_decay_start steps, then linear to 0 over lr_decay_steps steps.
+    # 0 decay steps = constant lr. train.py converts the epoch-denominated
+    # flags to steps (steps_per_epoch * niter / niter_decay).
+    lr_decay_start: int = 0
+    lr_decay_steps: int = 0
+
     def g_lr(self):
         return self.lr if self.no_TTUR else self.lr / 2
 
     def d_lr(self):
         return self.lr if self.no_TTUR else self.lr * 2
+
+    def lr_schedule(self, base_lr: float):
+        """Scalar or optax schedule for one optimizer."""
+        if self.lr_decay_steps <= 0:
+            return base_lr
+        return optax.join_schedules(
+            [optax.constant_schedule(base_lr),
+             optax.linear_schedule(base_lr, 0.0, self.lr_decay_steps)],
+            [self.lr_decay_start])
+
+
+def make_optimizers(cfg: TrainConfig):
+    """The TTUR Adam pair; single construction point so init_train_state
+    and train_step always agree on the (possibly scheduled) lr."""
+    opt_g = optax.adam(cfg.lr_schedule(cfg.g_lr()), b1=cfg.beta1,
+                       b2=cfg.beta2)
+    opt_d = optax.adam(cfg.lr_schedule(cfg.d_lr()), b1=cfg.beta1,
+                       b2=cfg.beta2)
+    return opt_g, opt_d
 
 
 def _grad_mask(cfg: TrainConfig, params):
@@ -106,8 +132,7 @@ def init_train_state(key, cfg: TrainConfig, dtype=jnp.float32):
         "D": discriminator.init_params(kd, dtype=dtype),
     }
     gen_params = {"M": params["M"], "G": params["G"]}
-    opt_g = optax.adam(cfg.g_lr(), b1=cfg.beta1, b2=cfg.beta2)
-    opt_d = optax.adam(cfg.d_lr(), b1=cfg.beta1, b2=cfg.beta2)
+    opt_g, opt_d = make_optimizers(cfg)
     return {
         "params": params,
         "opt_g": opt_g.init(gen_params),
@@ -256,8 +281,7 @@ def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
     flag = jax.random.randint(kflag_g, (), low, 3)
     flag_d = jax.random.randint(kflag_d, (), low, 3)
 
-    opt_g = optax.adam(cfg.g_lr(), b1=cfg.beta1, b2=cfg.beta2)
-    opt_d = optax.adam(cfg.d_lr(), b1=cfg.beta1, b2=cfg.beta2)
+    opt_g, opt_d = make_optimizers(cfg)
 
     # ---- generator update ----
     gen_fwd = generate_fake_train

@@ -127,6 +127,36 @@ def test_partial_update_mask_only():
     assert not np.allclose(m0, m1)
 
 
+def test_lr_linear_decay_schedule():
+    """--niter_decay: constant lr through the boundary step, then linear to
+    zero. Adam with a constant gradient steps by exactly lr, so the update
+    magnitude reads the schedule directly."""
+    from sketchedit_tpu.train.trainer import make_optimizers
+    cfg = TrainConfig(lr=0.1, no_TTUR=True, beta1=0.9, beta2=0.999,
+                      lr_decay_start=2, lr_decay_steps=4)
+    opt_g, opt_d = make_optimizers(cfg)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+    state = opt_g.init(params)
+    sizes = []
+    for _ in range(6):
+        upd, state = opt_g.update(grads, state, params)
+        sizes.append(float(jnp.abs(upd["w"]).max()))
+    assert sizes[0] == pytest.approx(0.1, rel=1e-4)
+    assert sizes[1] == pytest.approx(sizes[0], rel=1e-5)   # pre-boundary
+    assert sizes[3] < sizes[2]                             # decaying
+    assert sizes[5] < sizes[4] < sizes[3]
+    assert sizes[5] == pytest.approx(0.1 * 0.25, rel=1e-3)  # 3/4 through
+
+    # no decay flags -> plain constant lr
+    cfg0 = TrainConfig(lr=0.1, no_TTUR=True)
+    og0, _ = make_optimizers(cfg0)
+    st0 = og0.init(params)
+    for _ in range(3):
+        upd, st0 = og0.update(grads, st0, params)
+    assert float(jnp.abs(upd["w"]).max()) == pytest.approx(0.1, rel=1e-4)
+
+
 def test_dryrun_multichip_cpu_mesh():
     import __graft_entry__ as ge
     n = min(8, len(jax.devices()))

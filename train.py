@@ -40,6 +40,8 @@ def main():
     enable_persistent_cache()
 
     dataloader = data.create_dataloader(opt)
+    # --niter_decay: epoch-denominated flags -> step-denominated schedule
+    steps_per_epoch = max(1, len(dataloader.dataset) // opt.batchSize)
     cfg = TrainConfig(
         netg=DeepFillConfig(
             use_cam=opt.use_cam, pool_type=opt.pool_type,
@@ -52,7 +54,9 @@ def main():
         no_vgg_loss=opt.no_vgg_loss or load_vgg_params() is None,
         filt_maskim=opt.filt_maskim, no_detach=opt.no_detach,
         update_part=opt.update_part, lr=opt.lr, beta1=opt.beta1,
-        beta2=opt.beta2, no_TTUR=opt.no_TTUR, remat=opt.remat)
+        beta2=opt.beta2, no_TTUR=opt.no_TTUR, remat=opt.remat,
+        lr_decay_start=opt.niter * steps_per_epoch,
+        lr_decay_steps=opt.niter_decay * steps_per_epoch)
     vgg_params = None if cfg.no_vgg_loss else load_vgg_params()
 
     state = init_train_state(jax.random.PRNGKey(0), cfg)
