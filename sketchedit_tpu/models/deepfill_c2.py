@@ -21,7 +21,7 @@ full generator is one XLA region.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,8 @@ from sketchedit_tpu.ops.gated_conv import (
 from sketchedit_tpu.ops.packed_tail import (
     packed_decoder_tail, packed_encoder_front)
 from sketchedit_tpu.ops.image import avg_pool2d
-from sketchedit_tpu.ops.attention import contextual_attention
+from sketchedit_tpu.ops.attention import (
+    contextual_attention, splitcam_attention, SplitCAMConfig)
 
 CNUM = 48
 
@@ -47,6 +48,10 @@ class DeepFillConfig:
     no_mask_coarse: bool = False
     joint_train_inp: bool = True
     attention_impl: str = "auto"    # 'auto' | 'xla' | 'pallas'
+    # Full ReduceContextAttentionP1/P2 constructor surface. Non-released
+    # settings route through the general ops.attention.splitcam_attention
+    # path (the fast/Pallas path is specialized to the released config).
+    attention: SplitCAMConfig = field(default_factory=SplitCAMConfig)
 
 
 def _spec_encoder(prefix: str, cin0: int):
@@ -166,6 +171,9 @@ def _attention(x, mask, config: DeepFillConfig, precision):
     to feature resolution (editline_g.py:203-207)."""
     mask_s = avg_pool2d(mask, 4, 4)
     mask_s = jax.lax.stop_gradient(mask_s)
+    if not config.attention.is_released:
+        return splitcam_attention(x, x, mask_s, config.attention,
+                                  precision=precision)
     impl = config.attention_impl
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu" else "xla")

@@ -26,6 +26,8 @@ is the reference/XLA path and the fallback on non-TPU backends.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import jax
 import jax.numpy as jnp
 
@@ -115,6 +117,167 @@ def contextual_attention(f, b, mask, *, patch_size: int = 4, stride: int = 2,
     if return_weights:
         return out, w
     return out
+
+
+# --- full splitcam configuration space --------------------------------------
+#
+# The released checkpoints pin one configuration (handled by the fast path
+# above and the Pallas kernel); the reference constructors expose more
+# (splitcam.py:17-34,110-122). splitcam_attention() implements the whole
+# reachable space: nn_hard/hardmax (:8-15,106-107), is_fuse 2-pass diagonal
+# smoothing (:73-87), the is_th=False replace-with-more-valid-patch branch
+# (:91-103), per-patch norm_type=2 (:45-47), replicate pd padding (:41,68)
+# with the P2 output crop (:161-163), and P2 mk=True hole-zeroed patch banks
+# (:142-143).
+
+
+@dataclass(frozen=True)
+class SplitCAMConfig:
+    """Constructor surface of ReduceContextAttentionP1/P2. Defaults are the
+    released generator's instantiation (editline_g.py:35-42)."""
+    bkg_patch_size: int = 4
+    stride: int = 2          # query-conv stride (P1) and fold stride (P2)
+    ufstride: int = 2        # patch-bank unfold stride
+    softmax_scale: float = 10.0
+    nn_hard: bool = False
+    pd: int = 0              # replicate padding before unfold; P2 crops it
+    fuse_k: int = 3
+    is_fuse: bool = False
+    th: float = 0.1
+    norm_type: int = 1       # 1: global per-(B,C) L2; 2: per-(patch,C)
+    is_th: bool = True       # False: replace-with-more-valid-patch gating
+    mk: bool = False         # P2: zero hole pixels inside the patch bank
+
+    @property
+    def is_released(self) -> bool:
+        return self == SplitCAMConfig()
+
+
+def _pad_replicate(x, pd: int):
+    if pd == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pd, pd), (pd, pd), (0, 0)), mode="edge")
+
+
+def _fuse_diag(s, fuse_k: int):
+    """One fuse pass: conv of the (P, N) plane with an identity (eye) kernel,
+    zero padding 1 — i.e. a sum over flat-index diagonal offsets
+    (splitcam.py:74-77). The reference hardcodes padding=1, so only
+    fuse_k=3 is shape-preserving there; we keep that contract."""
+    assert fuse_k == 3, "reference fuse uses padding=1; only fuse_k=3 works"
+    sp = jnp.pad(s, ((0, 0), (1, 1), (1, 1)))
+    return sp[:, :-2, :-2] + sp[:, 1:-1, 1:-1] + sp[:, 2:, 2:]
+
+
+def _fuse(sim_pn, p_hw, n_hw, fuse_k: int):
+    """Two-pass fuse smoothing (splitcam.py:73-87): pass 1 along the flat
+    row-major diagonal; pass 2 after transposing both the patch grid and the
+    position grid (swapping x/y roles)."""
+    B, P, N = sim_pn.shape
+    ph, pw = p_hw
+    nh, nw = n_hw
+    s = _fuse_diag(sim_pn, fuse_k)
+    s = s.reshape(B, ph, pw, nh, nw).transpose(0, 2, 1, 4, 3).reshape(B, P, N)
+    s = _fuse_diag(s, fuse_k)
+    s = s.reshape(B, pw, ph, nw, nh).transpose(0, 2, 1, 4, 3).reshape(B, P, N)
+    return s
+
+
+def splitcam_attention(f, b, mask, config: SplitCAMConfig = SplitCAMConfig(),
+                       *, precision=None, return_weights: bool = False,
+                       return_recon: bool = False):
+    """P1+P2 at any reference-reachable configuration.
+
+    f, b: (B, H, W, C) foreground/background features; mask: (B, H, W, 1)
+    hole mask (1 = hole), as the model passes it (editline_g.py:203-207).
+    Returns out (B, H, W, C); optionally the (B, N, P) weights and/or the
+    normalized hole reconstruction aux (splitcam.py:155-160).
+    """
+    cfg = config
+    B, H, W, C = b.shape
+    k, sq, sk, pd = cfg.bkg_patch_size, cfg.stride, cfg.ufstride, cfg.pd
+    f = f.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    valid = 1.0 - mask.astype(jnp.float32)
+
+    # P1 patch bank: norm first (over the UNPADDED map for norm_type 1,
+    # splitcam.py:39-41), then replicate-pad, then unfold.
+    if cfg.norm_type == 1:
+        norm = jnp.sqrt(jnp.sum(b * b, axis=(1, 2), keepdims=True) + 1e-8)
+        bn = b / norm
+    else:
+        bn = b
+    kp = extract_patches(_pad_replicate(bn, pd), k, sk)
+    p_hw = (kp.shape[1], kp.shape[2])
+    P = p_hw[0] * p_hw[1]
+    D = k * k * C
+    K = kp.reshape(B, P, D)
+    if cfg.norm_type == 2:
+        # per-(patch, channel) L2 over the kxk pixels (splitcam.py:45-47)
+        kp2 = K.reshape(B, P, k * k, C)
+        kn = jnp.sqrt(jnp.sum(kp2 * kp2, axis=2, keepdims=True) + 1e-8)
+        K = (kp2 / kn).reshape(B, P, D)
+
+    mmk = patch_valid_ratio(_pad_replicate(valid, pd), k, sk)      # (B, P)
+
+    qp = extract_patches(_pad_replicate(f, pd), k, sq)
+    n_hw = (qp.shape[1], qp.shape[2])
+    N = n_hw[0] * n_hw[1]
+    Q = qp.reshape(B, N, D)
+
+    sim = jnp.einsum("bnd,bpd->bnp", Q, K, precision=precision)
+
+    if cfg.is_fuse:
+        sim = _fuse(sim.transpose(0, 2, 1), p_hw, n_hw,
+                    cfg.fuse_k).transpose(0, 2, 1)
+
+    if cfg.is_th:
+        gate = (mmk > cfg.th).astype(jnp.float32)[:, None, :]      # (B,1,P)
+    else:
+        # replace-with-more-valid-patch (splitcam.py:91-103): per-query
+        # valid ratio mmp; keep patch p for query n iff (it is strictly more
+        # valid AND the query patch is itself partially valid) OR the patch
+        # is fully valid.
+        mmp = patch_valid_ratio(_pad_replicate(valid, pd), k, sq)  # (B, N)
+        more_valid = mmk[:, None, :] > mmp[:, :, None]             # (B,N,P)
+        partial = (mmp > cfg.th)[:, :, None]
+        full = (mmk == 1.0)[:, None, :]
+        gate = ((more_valid & partial) | full).astype(jnp.float32)
+
+    w = jax.nn.softmax(sim * gate * cfg.softmax_scale, axis=-1)
+    if cfg.nn_hard:
+        w = jax.lax.stop_gradient(
+            jax.nn.one_hot(jnp.argmax(w, axis=-1), P, dtype=w.dtype))
+
+    # P2: original-b patch bank, optionally hole-zeroed (splitcam.py:142-143)
+    V = extract_patches(_pad_replicate(b, pd), k, sk).reshape(B, P, D)
+    mk_patches = extract_patches(
+        _pad_replicate(mask.astype(jnp.float32), pd), k, sk
+    ).reshape(B, P, k * k)
+    if cfg.mk:
+        V = (V.reshape(B, P, k * k, C)
+             * (1.0 - mk_patches)[..., None]).reshape(B, P, D)
+
+    outp = jnp.einsum("bnp,bpd->bnd", w, V, precision=precision)
+    Hp, Wp = H + 2 * pd, W + 2 * pd
+    out = fold_patches(outp.reshape(B, *n_hw, k, k, C), (Hp, Wp), sq)
+    if pd > 0:
+        out = out[:, pd:-pd, pd:-pd]
+
+    results = [out]
+    if return_weights:
+        results.append(w)
+    if return_recon:
+        reconp = jnp.einsum("bnp,bpk->bnk", w, mk_patches)
+        recon = fold_patches(
+            reconp.reshape(B, *n_hw, k, k, 1), (Hp, Wp), sq)
+        ones = jnp.ones((1, *n_hw, k, k, 1), jnp.float32)
+        overlap = fold_patches(ones, (Hp, Wp), sq)
+        recon = recon / overlap
+        if pd > 0:
+            recon = recon[:, pd:-pd, pd:-pd]
+        results.append(recon)
+    return results[0] if len(results) == 1 else tuple(results)
 
 
 def attention_mask_recon(weights, mask, out_hw, *, patch_size: int = 4,

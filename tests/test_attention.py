@@ -85,6 +85,105 @@ def test_attention_matches_reference_splitcam():
     np.testing.assert_allclose(got, to_nhwc(out_ref), rtol=1e-4, atol=1e-4)
 
 
+# --- full splitcam configuration space vs the reference modules -------------
+
+_VARIANTS = {
+    # name: constructor overrides (shared by P1/P2 where applicable)
+    "released": {},
+    "nn_hard": {"nn_hard": True},
+    "is_th_false": {"is_th": False},
+    "mk_true": {"mk": True},
+    "pd1": {"pd": 1},
+    "norm_type2": {"norm_type": 2},
+    # fuse needs the patch grid to equal (h/2, w/2) for the reference's
+    # hardcoded view (splitcam.py:71,78) — pd=1 with k=4, ufstride=2 does
+    "fuse": {"pd": 1, "is_fuse": True},
+    "everything": {"pd": 1, "is_fuse": True, "is_th": False, "mk": True,
+                   "nn_hard": True, "norm_type": 2, "th": 0.3},
+}
+
+
+def _reference_splitcam(f, mask, ov):
+    add_reference_to_path()
+    from models.networks.splitcam import (
+        ReduceContextAttentionP1, ReduceContextAttentionP2)
+    cam1 = ReduceContextAttentionP1(
+        nn_hard=ov.get("nn_hard", False), ufstride=2, stride=2,
+        bkg_patch_size=4, pd=ov.get("pd", 0), is_th=ov.get("is_th", True),
+        is_fuse=ov.get("is_fuse", False), th=ov.get("th", 0.1),
+        norm_type=ov.get("norm_type", 1))
+    cam2 = ReduceContextAttentionP2(
+        ufstride=2, bkg_patch_size=4, stride=2, pd=ov.get("pd", 0),
+        mk=ov.get("mk", False))
+    with torch.no_grad():
+        ft = to_nchw(f)
+        mt = to_nchw(mask)
+        sim = cam1(ft, ft, mt)
+        out, aux = cam2(sim, ft, mt, {})
+    return to_nhwc(out), to_nhwc(aux["hole"])
+
+
+@pytest.mark.parametrize("name", sorted(_VARIANTS))
+def test_splitcam_variants_match_reference(name):
+    """Every reachable ReduceContextAttentionP1/P2 configuration, pinned
+    against the actual reference modules (splitcam.py:8-15,73-103,132-145,
+    161-163)."""
+    from sketchedit_tpu.ops.attention import (
+        SplitCAMConfig, splitcam_attention)
+    ov = _VARIANTS[name]
+    rs = np.random.RandomState(7)
+    H, C = 16, 12
+    f = rs.randn(2, H, H, C).astype(np.float32)
+    mask = (rs.rand(2, H, H, 1) > 0.5).astype(np.float32)
+
+    want, want_recon = _reference_splitcam(f, mask, ov)
+    cfg = SplitCAMConfig(**ov)
+    got, got_recon = splitcam_attention(
+        jnp.asarray(f), jnp.asarray(f), jnp.asarray(mask), cfg,
+        precision=jax.lax.Precision.HIGHEST, return_recon=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_recon), want_recon,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_netg_routes_nonreleased_attention_config():
+    """DeepFillConfig.attention reaches the general splitcam path inside the
+    full generator (smoke: shapes + finiteness at a non-released config)."""
+    from sketchedit_tpu.models import deepfill_c2
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+    from sketchedit_tpu.ops.attention import SplitCAMConfig
+    rs = np.random.RandomState(9)
+    B, H = 1, 32
+    params = deepfill_c2.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rs.uniform(-1, 1, (B, H, H, 3)).astype(np.float32))
+    m = jnp.asarray((rs.rand(B, H, H, 1) > 0.7).astype(np.float32))
+    cfg = DeepFillConfig(attention=SplitCAMConfig(pd=1, mk=True,
+                                                  nn_hard=True))
+    coarse, fake = deepfill_c2.apply(params, x, x, m, m, config=cfg)
+    assert fake.shape == (B, H, H, 3)
+    assert np.isfinite(np.asarray(fake)).all()
+
+
+def test_splitcam_released_config_equals_fast_path():
+    """SplitCAMConfig() == the dedicated fast path (and so the Pallas
+    kernel, which test_attention_pallas pins to it)."""
+    from sketchedit_tpu.ops.attention import (
+        SplitCAMConfig, splitcam_attention)
+    rs = np.random.RandomState(8)
+    f = rs.randn(2, 16, 16, 8).astype(np.float32)
+    mask = (rs.rand(2, 16, 16, 1) > 0.5).astype(np.float32)
+    a = splitcam_attention(jnp.asarray(f), jnp.asarray(f), jnp.asarray(mask),
+                           SplitCAMConfig(),
+                           precision=jax.lax.Precision.HIGHEST)
+    b = contextual_attention(jnp.asarray(f), jnp.asarray(f),
+                             jnp.asarray(mask),
+                             precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    assert SplitCAMConfig().is_released
+    assert not SplitCAMConfig(pd=1).is_released
+
+
 def test_gated_patches_still_contribute_to_softmax():
     """The reference multiplies gated similarities by 0 *before* softmax, so a
     fully-gated row degenerates to uniform weights — assert we reproduce that
