@@ -14,15 +14,11 @@ import argparse
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--src", required=True,
-                    help="torchvision vgg19 state_dict (.pth)")
-    ap.add_argument("--dst", required=True, help="output .npz")
-    args = ap.parse_args()
-
+def convert(src: str, dst: str) -> int:
+    """torchvision vgg19 state_dict (.pth) -> VGGLoss npz. Returns the
+    number of conv layers written."""
     import torch
-    state = torch.load(args.src, map_location="cpu", weights_only=True)
+    state = torch.load(src, map_location="cpu", weights_only=True)
 
     out = {}
     conv_i = 0
@@ -36,8 +32,18 @@ def main():
         out[f"conv_{conv_i}_b"] = b
         conv_i += 1
     assert conv_i == 16, f"expected 16 VGG19 convs, found {conv_i}"
-    np.savez(args.dst, **out)
-    print(f"wrote {conv_i} conv layers to {args.dst}")
+    np.savez(dst, **out)
+    return conv_i
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True,
+                    help="torchvision vgg19 state_dict (.pth)")
+    ap.add_argument("--dst", required=True, help="output .npz")
+    args = ap.parse_args()
+    n = convert(args.src, args.dst)
+    print(f"wrote {n} conv layers to {args.dst}")
 
 
 if __name__ == "__main__":

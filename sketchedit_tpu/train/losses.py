@@ -49,7 +49,9 @@ def gan_loss(pred, target_is_real: bool, *, mode: str = "hinge",
 
 # --- VGG19 perceptual loss ------------------------------------------------
 
-_VGG_SLICES = (2, 7, 12, 21, 30)       # relu1_2, relu2_2, relu3_2, relu4_2, relu5_2
+# .features-index boundaries of the 5 taps: through relu1_1, relu2_1,
+# relu3_1, relu4_1, relu5_1 (the SPADE VGG19 slice ends)
+_VGG_SLICES = (2, 7, 12, 21, 30)
 _VGG_WEIGHTS = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)
 _VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
             512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
@@ -72,7 +74,12 @@ def load_vgg_params(path: str | None = None):
 
 
 def vgg_features(params, x):
-    """x in [-1,1] NHWC -> list of feature maps at the 5 standard slices."""
+    """x in [-1,1] NHWC -> list of feature maps at the 5 standard slices.
+
+    Deliberate delta vs SPADE's VGGLoss (which feeds [-1,1] straight into
+    VGG19): we remap to the ImageNet normalization the network was trained
+    with — the perceptual features are only meaningful there. tests/
+    test_vgg.py pins the whole stack against a torch oracle either way."""
     mean = jnp.asarray([0.485, 0.456, 0.406])
     std = jnp.asarray([0.229, 0.224, 0.225])
     h = ((x + 1.0) / 2.0 - mean) / std
@@ -81,8 +88,8 @@ def vgg_features(params, x):
     conv_i = 0
     for c in _VGG_CFG:
         if c == "M":
-            h = -jax.lax.reduce_window(-h, -jnp.inf, jax.lax.max,
-                                       (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
             layer_idx += 1
         else:
             h = conv2d(params[conv_i], h)
