@@ -68,6 +68,54 @@ def main():
     def checksum(x):
         return float(jnp.sum(x.astype(jnp.float32)))
 
+    if mode == "train":
+        # Training throughput: one jitted G+D step per batch. Every step
+        # fetches a loss scalar, which forces execution on this runtime.
+        from sketchedit_tpu.train.trainer import (
+            TrainConfig, init_train_state, train_step)
+        tcfg = TrainConfig(netg=DeepFillConfig(attention_impl=ATTENTION),
+                           remat=os.environ.get("BENCH_REMAT", "0") == "1")
+        state = init_train_state(jax.random.PRNGKey(0), tcfg)
+        batch = {
+            "image": jnp.asarray(
+                rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32)),
+            "gt": jnp.asarray(
+                rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32)),
+            "mask": jnp.asarray(
+                (rs.rand(BATCH, SIZE, SIZE, 1) > 0.95).astype(np.float32)),
+            "edgegt": jnp.asarray(
+                (rs.rand(BATCH, SIZE, SIZE, 1) > 0.95).astype(np.float32)),
+            "random_mask": jnp.asarray(
+                (rs.rand(BATCH, SIZE, SIZE, 1) > 0.7).astype(np.float32)),
+            "random_mask2": jnp.asarray(
+                (rs.rand(BATCH, SIZE, SIZE, 1) > 0.7).astype(np.float32)),
+        }
+        step = jax.jit(lambda st, b, k: train_step(st, b, k, tcfg))
+        key = jax.random.PRNGKey(1)
+        for _ in range(WARMUP):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            float(metrics["G_total"])
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, batch, sub)
+            total = float(metrics["G_total"])     # forces the whole chain
+            dt = min(dt, time.perf_counter() - t0)
+            assert np.isfinite(total)
+        dt = max(dt, 1e-9)
+        images_per_sec = BATCH * ITERS / dt
+        print(json.dumps({
+            "metric": f"train images/sec/chip, {SIZE}x{SIZE} G+D step, "
+                      f"batch {BATCH}, attention={ATTENTION}",
+            "value": round(images_per_sec, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+        }))
+        return
+
     if mode == "chain":
         # Latency mode: output feeds the next input, every step on the
         # critical path; the final scalar fetch forces completion (on this

@@ -29,6 +29,10 @@ else
     echo "skipped (no fixtures staged)"
 fi
 
-echo "=== 6/6 git status ==="
+echo "=== 6/7 train benchmark (real TPU) -> BENCH_TRAIN.json ==="
+BENCH_MODE=train BENCH_BATCH=${BENCH_TRAIN_BATCH:-16} BENCH_ITERS=10 \
+    python bench.py | tail -1 | tee BENCH_TRAIN.json
+
+echo "=== 7/7 git status ==="
 git status --short
 echo "release check complete"

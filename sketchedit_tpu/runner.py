@@ -85,12 +85,22 @@ class EditPipeline:
         """
         image = jnp.asarray(image_nhwc)
         sketch = jnp.asarray(sketch_nhw1)
-        if (self.mesh is not None
-                and image.shape[0] % self.mesh.shape[BATCH_AXIS] == 0):
+        n = image.shape[0]
+        if self.mesh is not None:
+            # Indivisible batches are padded up to the mesh size (repeating
+            # the last sample) rather than silently running replicated:
+            # the program stays sharded and the pad is sliced off below.
+            d = self.mesh.shape[BATCH_AXIS]
+            pad = (-n) % d
+            if pad:
+                image = jnp.concatenate(
+                    [image, jnp.repeat(image[-1:], pad, axis=0)], axis=0)
+                sketch = jnp.concatenate(
+                    [sketch, jnp.repeat(sketch[-1:], pad, axis=0)], axis=0)
             image, sketch = shard_batch(self.mesh, image, sketch)
         fn = (self.edit_u8_fn if image.dtype == jnp.uint8 else self.edit_fn)
         composed, mask = fn(self.params, image, sketch)
-        return np.asarray(composed), np.asarray(mask)
+        return np.asarray(composed)[:n], np.asarray(mask)[:n]
 
 
 def build_pipeline(opt, *, require_checkpoint: bool = False) -> EditPipeline:
