@@ -1,20 +1,28 @@
-"""Fused contextual-attention kernel (Pallas, TPU).
+"""Fused contextual-attention kernels (Pallas, TPU) — forward AND backward.
 
-Computes the splitcam P1+P2 chain — similarity matmul, valid-ratio gating,
+Forward: the splitcam P1+P2 chain — similarity matmul, valid-ratio gating,
 softmax(x10), and weighted patch recombination — in one kernel pipeline,
 never materializing the (B, N, P) similarity tensor in HBM. This is the hot
 quadratic op: at 512^2 the similarity tensor alone is B x 3969 x 3969
 (63 MB/image fp32), all of which stays in VMEM tiles here.
 
+Backward: flash-style dQ/dK/dV kernels reusing the forward's streaming
+structure. The forward additionally emits the per-query logsumexp, so the
+backward recomputes softmax probabilities tile-by-tile as exp(S - lse) and
+never materializes (B, N, P) either — the softmax-backward row term
+rowsum(dP*P) collapses to delta = rowsum(dO*O) (the standard
+flash-attention identity), computed once in XLA.
+
 Semantics match ops/attention.py exactly (same reference quirks: gated
 similarities are *zeroed* before softmax so they contribute exp(0)=1 to the
 denominator; padded key slots contribute nothing). Patch extraction and the
 overlap-add fold stay outside — they're cheap static reshapes XLA fuses
-well; the kernel owns the quadratic part.
+well; the kernels own the quadratic part.
 
-Flash-attention-style streaming over a (B, Nq, Nkv) grid (TPU grids run
-sequentially, innermost fastest, so fp32 scratch accumulators carry the
-online softmax state across kv steps of one (batch, q-tile) program).
+Grids run sequentially on TPU (innermost fastest), so fp32 scratch
+accumulators carry state across the streamed axis of one program:
+the forward and dQ kernels stream kv tiles, the dK/dV kernel streams
+q tiles.
 """
 
 from __future__ import annotations
@@ -32,12 +40,20 @@ from sketchedit_tpu.ops.attention import (
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, gate_ref, o_ref,
+def _gate_mul(g):
+    """Gate row -> the multiplier applied to similarities: {0,1} stay, the
+    NEG_INF padding sentinel becomes 0 so 0*sim can't produce NaN (padded
+    logits are forced to -inf separately)."""
+    return jnp.where(g <= NEG_INF * 0.5, 0.0, g)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, gate_ref, o_ref, lse_ref,
                  acc_ref, m_ref, l_ref, *, scale: float):
     """Grid (B, Nq, Nkv); one kv step of one (batch, q-tile) program.
 
     q_ref: (1, TQ, D); k_ref/v_ref: (1, TK, D); gate_ref: (1, 1, TK)
-    with 1=keep, 0=gated, NEG_INF=padding. o_ref: (1, TQ, D).
+    with 1=keep, 0=gated, NEG_INF=padding. o_ref: (1, TQ, D);
+    lse_ref: (1, TQ, 128) (per-query logsumexp, lane-broadcast).
     Scratch (persist across kv steps): acc (TQ, D), m/l (TQ, 128).
     """
     j = pl.program_id(2)
@@ -74,20 +90,236 @@ def _attn_kernel(q_ref, k_ref, v_ref, gate_ref, o_ref,
 
     @pl.when(j == nkv - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
+        l_final = l_ref[:, 0:1]
+        o_ref[0] = (acc_ref[:] / l_final).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(
+            m_ref[:, 0:1] + jnp.log(l_final), lse_ref.shape[1:]
+        ).astype(lse_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, gate_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_acc, *, scale: float):
+    """Grid (B, Nq, Nkv): accumulate dQ for one q tile across kv tiles.
+
+    dS = P * (dP - delta);  dQ += (dS * gate * scale) @ K
+    with P = exp(S - lse), dP = dO @ V^T.
+    """
+    j = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = gate_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0:1]
+    delta = delta_ref[0, :, 0:1]
+
+    gmul = _gate_mul(g)[None, :] * scale                 # (1, TK)
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    logits = jnp.where(g[None, :] <= NEG_INF * 0.5, NEG_INF, sim * gmul)
+    p = jnp.exp(logits - lse)                            # (TQ, TK)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TQ, TK)
+    ds = p * (dp - delta) * gmul
+    dq_acc[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nkv - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _dkdv_kernel(k_ref, v_ref, gate_ref, q_ref, do_ref, lse_ref, delta_ref,
+                 dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+    """Grid (B, Nkv, Nq): accumulate dK/dV for one kv tile across q tiles.
+
+    dV += P^T @ dO;  dK += (dS * gate * scale)^T @ Q.
+    """
+    j = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = gate_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0:1]
+    delta = delta_ref[0, :, 0:1]
+
+    gmul = _gate_mul(g)[None, :] * scale
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TQ, TK)
+    logits = jnp.where(g[None, :] <= NEG_INF * 0.5, NEG_INF, sim * gmul)
+    p = jnp.exp(logits - lse)
+
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TK, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * gmul
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TK, D)
+
+    @pl.when(j == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _attention_core_dense(Q, K, V, keep, softmax_scale):
-    """Dense reference of the core (differentiable; used for the VJP)."""
-    sim = jnp.einsum("bnd,bpd->bnp", Q.astype(jnp.float32),
-                     K.astype(jnp.float32))
-    w = jax.nn.softmax(sim * keep[:, None, :].astype(jnp.float32)
-                       * softmax_scale, axis=-1)
-    return jnp.einsum("bnp,bpd->bnd", w, V.astype(jnp.float32))
+def _pad_qkv(Q, K, V, keep, q_tile, kv_tile):
+    B, N, D = Q.shape
+    P = K.shape[1]
+    Np, Pp, Dp = (_round_up(N, q_tile), _round_up(P, kv_tile),
+                  _round_up(D, 128))
+    Qp = jnp.pad(Q, ((0, 0), (0, Np - N), (0, Dp - D)))
+    Kp = jnp.pad(K, ((0, 0), (0, Pp - P), (0, Dp - D)))
+    Vp = jnp.pad(V, ((0, 0), (0, Pp - P), (0, Dp - D)))
+    gate = jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, Pp - P)),
+                   constant_values=NEG_INF)[:, None, :]
+    return Qp, Kp, Vp, gate, Np, Pp, Dp
+
+
+def _fwd_tiles(dtype, N, P):
+    # Tile defaults tuned on v5e: bf16 streams afford double-size kv tiles
+    # within the ~16MB VMEM budget (incl. double buffering).
+    wide = jnp.dtype(dtype).itemsize <= 2
+    q_tile = 256 if wide else 128
+    kv_tile = 512 if wide else 256
+    return min(q_tile, _round_up(N, 128)), min(kv_tile, _round_up(P, 128))
+
+
+def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
+                        q_tile: int | None = None,
+                        kv_tile: int | None = None,
+                        return_lse: bool = False):
+    """softmax(QK^T * keep * scale) @ V with the splitcam gating quirk.
+
+    Q: (B, N, D); K, V: (B, P, D); keep: (B, P) in {0, 1}.
+    Q/K/V stream in their input dtype (bf16 on the throughput path halves
+    the DMA); the contraction and softmax state accumulate in fp32.
+    Returns (B, N, D) float32 (+ the (B, N) logsumexp when return_lse).
+    """
+    B, N, D = Q.shape
+    P = K.shape[1]
+    tq, tk = _fwd_tiles(Q.dtype, N, P)
+    q_tile = q_tile or tq
+    kv_tile = kv_tile or tk
+    Qp, Kp, Vp, gate, Np, Pp, Dp = _pad_qkv(Q, K, V, keep, q_tile, kv_tile)
+
+    grid = (B, Np // q_tile, Pp // kv_tile)
+    kernel = functools.partial(_attn_kernel, scale=softmax_scale)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, q_tile, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, Dp), jnp.float32),
+            pltpu.VMEM((q_tile, 128), jnp.float32),
+            pltpu.VMEM((q_tile, 128), jnp.float32),
+        ],
+    )(Qp, Kp, Vp, gate)
+    if return_lse:
+        return out[:, :N, :D], lse[:, :N, 0]
+    return out[:, :N, :D]
+
+
+def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
+                               q_tile: int = 128, kv_tile: int = 128):
+    """Flash-style dQ/dK/dV. All quadratic terms stay in VMEM tiles."""
+    B, N, D = Q.shape
+    P = K.shape[1]
+    Qp, Kp, Vp, gate, Np, Pp, Dp = _pad_qkv(Q, K, V, keep, q_tile, kv_tile)
+    dOp = jnp.pad(dO.astype(jnp.float32),
+                  ((0, 0), (0, Np - N), (0, Dp - D)))
+    # delta_i = sum_d dO_id * O_id — the flash softmax-backward row term
+    delta = jnp.sum(dO.astype(jnp.float32) * out, axis=-1)          # (B, N)
+    lse_p = jnp.pad(lse, ((0, 0), (0, Np - N)))[..., None]
+    delta_p = jnp.pad(delta, ((0, 0), (0, Np - N)))[..., None]
+    lse_p = jnp.broadcast_to(lse_p, (B, Np, 128))
+    delta_p = jnp.broadcast_to(delta_p, (B, Np, 128))
+
+    row_spec = pl.BlockSpec((1, q_tile, 128), lambda b, i, j: (b, i, 0))
+    row_spec_j = pl.BlockSpec((1, q_tile, 128), lambda b, i, j: (b, j, 0))
+
+    dQ = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=softmax_scale),
+        grid=(B, Np // q_tile, Pp // kv_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+            row_spec,
+            row_spec,
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((q_tile, Dp), jnp.float32)],
+    )(Qp, Kp, Vp, gate, dOp, lse_p, delta_p)
+
+    dK, dV = pl.pallas_call(
+        functools.partial(_dkdv_kernel, scale=softmax_scale),
+        grid=(B, Pp // kv_tile, Np // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, j, 0)),
+            row_spec_j,
+            row_spec_j,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((kv_tile, Dp), jnp.float32),
+                        pltpu.VMEM((kv_tile, Dp), jnp.float32)],
+    )(Kp, Vp, gate, Qp, dOp, lse_p, delta_p)
+
+    return (dQ[:, :N, :D], dK[:, :P, :D], dV[:, :P, :D])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -96,51 +328,18 @@ def _core_with_vjp(Q, K, V, keep, softmax_scale):
 
 
 def _core_fwd(Q, K, V, keep, softmax_scale):
-    return (_attention_core_raw(Q, K, V, keep, softmax_scale=softmax_scale),
-            (Q, K, V, keep))
+    out, lse = _attention_core_raw(Q, K, V, keep,
+                                   softmax_scale=softmax_scale,
+                                   return_lse=True)
+    return out, (Q, K, V, keep, out, lse)
 
 
 def _core_bwd(softmax_scale, res, g):
-    """Backward chunked over query blocks: peak memory is B x CHUNK x P
-    instead of B x N x P (63MB/image at 512^2), so high-resolution training
-    never materializes the full attention matrix. Exact softmax backward:
-
-        S = (QK^T) * keep * scale ; P = softmax(S) ; O = P V
-        dV += P^T dO ; dP = dO V^T ; dS = P*(dP - rowsum(dP*P))
-        dQ = (dS*keep*scale) K ; dK += (dS*keep*scale)^T Q
-    """
-    Q, K, V, keep = res
-    B, N, D = Q.shape
-    CHUNK = 512
-    n_chunks = _round_up(N, CHUNK) // CHUNK
-    pad = n_chunks * CHUNK - N
-    Qp = jnp.pad(Q, ((0, 0), (0, pad), (0, 0)))
-    gp = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
-    Qc = Qp.reshape(B, n_chunks, CHUNK, D).transpose(1, 0, 2, 3)
-    gc = gp.reshape(B, n_chunks, CHUNK, D).transpose(1, 0, 2, 3)
-
-    Kf = K.astype(jnp.float32)
-    Vf = V.astype(jnp.float32)
-    gate = keep.astype(jnp.float32)[:, None, :] * softmax_scale
-
-    def chunk_grads(args):
-        q, dO = args
-        qf = q.astype(jnp.float32)
-        dOf = dO.astype(jnp.float32)
-        S = jnp.einsum("bnd,bpd->bnp", qf, Kf) * gate
-        P = jax.nn.softmax(S, axis=-1)
-        dV = jnp.einsum("bnp,bnd->bpd", P, dOf)
-        dP = jnp.einsum("bnd,bpd->bnp", dOf, Vf)
-        dS = P * (dP - jnp.sum(dP * P, axis=-1, keepdims=True))
-        dSg = dS * gate
-        dQ = jnp.einsum("bnp,bpd->bnd", dSg, Kf)
-        dK = jnp.einsum("bnp,bnd->bpd", dSg, qf)
-        return dQ, dK, dV
-
-    dQc, dKc, dVc = jax.lax.map(chunk_grads, (Qc, gc))
-    dQ = dQc.transpose(1, 0, 2, 3).reshape(B, n_chunks * CHUNK, D)[:, :N]
-    dK = jnp.sum(dKc, axis=0)
-    dV = jnp.sum(dVc, axis=0)
+    Q, K, V, keep, out, lse = res
+    dQ, dK, dV = _attention_core_bwd_pallas(
+        Q, K, V, keep, out, lse, g, softmax_scale)
+    # keep comes through stop_gradient at every call site (hole masks are
+    # not differentiated); zero cotangent by construction.
     return (dQ.astype(Q.dtype), dK.astype(K.dtype), dV.astype(V.dtype),
             jnp.zeros_like(keep))
 
@@ -151,62 +350,12 @@ _core_with_vjp.defvjp(_core_fwd, _core_bwd)
 def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
                           q_tile: int | None = None,
                           kv_tile: int | None = None):
-    """Differentiable wrapper: Pallas forward, dense-XLA backward."""
+    """Differentiable wrapper: Pallas forward AND flash-style Pallas
+    backward (dQ/dK/dV kernels reusing the forward's streaming layout)."""
     if q_tile is None and kv_tile is None:
         return _core_with_vjp(Q, K, V, keep, softmax_scale)
     return _attention_core_raw(Q, K, V, keep, softmax_scale=softmax_scale,
                                q_tile=q_tile, kv_tile=kv_tile)
-
-
-def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
-                        q_tile: int | None = None,
-                        kv_tile: int | None = None):
-    """softmax(QK^T * keep * scale) @ V with the splitcam gating quirk.
-
-    Q: (B, N, D); K, V: (B, P, D); keep: (B, P) in {0, 1}.
-    Q/K/V stream in their input dtype (bf16 on the throughput path halves
-    the DMA); the contraction and softmax state accumulate in fp32.
-    Returns (B, N, D) float32.
-    """
-    B, N, D = Q.shape
-    P = K.shape[1]
-    # Tile defaults tuned on v5e: bf16 streams afford double-size kv tiles
-    # within the ~16MB VMEM budget (incl. double buffering).
-    wide = jnp.dtype(Q.dtype).itemsize <= 2
-    q_tile = q_tile or (256 if wide else 128)
-    kv_tile = kv_tile or (512 if wide else 256)
-    q_tile = min(q_tile, _round_up(N, 128))
-    kv_tile = min(kv_tile, _round_up(P, 128))
-    Np, Pp, Dp = (_round_up(N, q_tile), _round_up(P, kv_tile),
-                  _round_up(D, 128))
-
-    Qp = jnp.pad(Q, ((0, 0), (0, Np - N), (0, Dp - D)))
-    Kp = jnp.pad(K, ((0, 0), (0, Pp - P), (0, Dp - D)))
-    Vp = jnp.pad(V, ((0, 0), (0, Pp - P), (0, Dp - D)))
-    gate = jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, Pp - P)),
-                   constant_values=NEG_INF)[:, None, :]
-
-    grid = (B, Np // q_tile, Pp // kv_tile)
-    kernel = functools.partial(_attn_kernel, scale=softmax_scale)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((q_tile, Dp), jnp.float32),
-            pltpu.VMEM((q_tile, 128), jnp.float32),
-            pltpu.VMEM((q_tile, 128), jnp.float32),
-        ],
-    )(Qp, Kp, Vp, gate)
-    return out[:, :N, :D]
 
 
 def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,

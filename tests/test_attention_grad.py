@@ -43,3 +43,39 @@ class _null:
 
     def __exit__(self, *a):
         return False
+
+
+def test_core_gradients_match_dense_unaligned():
+    """dQ/dK/dV from the Pallas flash backward vs the dense-XLA gradients,
+    on deliberately tile-unaligned shapes with heavy gating (some rows
+    fully gated => uniform softmax; padding lanes must not leak)."""
+    from sketchedit_tpu.ops.attention_pallas import attention_core_pallas
+
+    rs = np.random.RandomState(3)
+    B, N, P, D = 2, 130, 150, 70
+    Q = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+    K = jnp.asarray(rs.randn(B, P, D).astype(np.float32))
+    V = jnp.asarray(rs.randn(B, P, D).astype(np.float32))
+    keep = rs.rand(B, P) > 0.5
+    keep[0, :] = False                    # one sample fully gated
+    keep = jnp.asarray(keep.astype(np.float32))
+    cot = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+
+    def loss_dense(q, k, v):
+        sim = jnp.einsum("bnd,bpd->bnp", q, k,
+                         precision=jax.lax.Precision.HIGHEST)
+        w = jax.nn.softmax(sim * keep[:, None, :] * 10.0, axis=-1)
+        out = jnp.einsum("bnp,bpd->bnd", w, v,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(attention_core_pallas(q, k, v, keep) * cot)
+
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(Q, K, V)
+    ctx = (pltpu.force_tpu_interpret_mode() if _interpret() else _null())
+    with ctx:
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(Q, K, V)
+    for name, g, w in zip("QKV", got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
