@@ -74,6 +74,7 @@ def main():
         from sketchedit_tpu.train.trainer import (
             TrainConfig, init_train_state, train_step)
         tcfg = TrainConfig(netg=DeepFillConfig(attention_impl=ATTENTION),
+                           compute_dtype=DTYPE,
                            remat=os.environ.get("BENCH_REMAT", "0") == "1")
         state = init_train_state(jax.random.PRNGKey(0), tcfg)
         batch = {
@@ -109,7 +110,7 @@ def main():
         images_per_sec = BATCH * ITERS / dt
         print(json.dumps({
             "metric": f"train images/sec/chip, {SIZE}x{SIZE} G+D step, "
-                      f"batch {BATCH}, attention={ATTENTION}",
+                      f"batch {BATCH}, {DTYPE}, attention={ATTENTION}",
             "value": round(images_per_sec, 2),
             "unit": "images/sec",
             "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),

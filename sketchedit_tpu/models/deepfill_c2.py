@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from sketchedit_tpu.ops.gated_conv import (
     gated_conv2d, gated_deconv2d, init_conv_params)
 from sketchedit_tpu.ops.packed_tail import (
-    packed_decoder_tail, packed_encoder_front)
+    packed_decoder_tail, packed_encoder_front, use_packing)
 from sketchedit_tpu.ops.image import avg_pool2d
 from sketchedit_tpu.ops.attention import (
     contextual_attention, splitcam_attention, SplitCAMConfig)
@@ -141,10 +141,10 @@ def _run(params, x, specs, precision):
     return x
 
 
-def _run_encoder(params, x, specs, precision):
+def _run_encoder(params, x, specs, precision, pack):
     """Encoder with the full-resolution front pair (conv1 + stride-2
     conv2) on the packed grid when the batch axis leaves MXU lanes idle."""
-    if x.shape[0] < 64:
+    if pack:
         n1, n2 = specs[0][0], specs[1][0]
         x = packed_encoder_front(params[n1], params[n2], x,
                                  precision=precision)
@@ -152,14 +152,12 @@ def _run_encoder(params, x, specs, precision):
     return _run(params, x, specs, precision)
 
 
-def _run_decoder(params, x, specs, precision):
+def _run_decoder(params, x, specs, precision, pack):
     """Decoder with the final upsample->conv->head segment on the packed
-    grid (ops/packed_tail.py) — exact math, better lane utilization."""
+    grid (ops/packed_tail.py) — exact math, better lane utilization.
+    Crossover policy centralized in ops.packed_tail.use_packing."""
     x = _run(params, x, specs[:-3], precision)
-    # The packed tail quadruples tail FLOPs for 4x better lane utilization
-    # — a win while the batch axis leaves lanes idle (B < 64 measured
-    # crossover on v5e), a loss once batch already fills them.
-    if x.shape[0] < 64:
+    if pack:
         up, mid, head = (specs[-3][0], specs[-2][0], specs[-1][0])
         return packed_decoder_tail(params[up], params[mid], params[head], x,
                                    precision=precision)
@@ -185,7 +183,8 @@ def _attention(x, mask, config: DeepFillConfig, precision):
 
 
 def apply(params, x, x2, mask, mask2, guide=None, *,
-          config: DeepFillConfig = DeepFillConfig(), precision=None):
+          config: DeepFillConfig = DeepFillConfig(), precision=None,
+          pack: bool | None = None):
     """netG forward (editline_g.py:119-221).
 
     Args:
@@ -198,6 +197,8 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     Returns (x_stage1, x_stage2), both (B, H, W, 3) in (-1, 1).
     """
     B, H, W, _ = x.shape
+    if pack is None:
+        pack = use_packing(B)
     if not config.no_mask_cc:
         x2 = x2 * mask2
     x = x * (1.0 - mask)
@@ -209,8 +210,10 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     x2cat = jnp.concatenate([x2, guide2, mask2], axis=-1)
 
     # stage 1: coarse encoder ‖ masked-region latent encoder
-    h = _run_encoder(params, xcat, _spec_encoder("conv", 5), precision)
-    h2 = _run_encoder(params, x2cat, _spec_encoder("wconv", 5), precision)
+    h = _run_encoder(params, xcat, _spec_encoder("conv", 5), precision,
+                     pack)
+    h2 = _run_encoder(params, x2cat, _spec_encoder("wconv", 5), precision,
+                      pack)
     hs, ws = h2.shape[1], h2.shape[2]
     if config.pool_type == "avg":
         lat = jnp.mean(h2, axis=(1, 2), keepdims=True)
@@ -226,7 +229,7 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
 
     x_stage1 = jnp.tanh(_run_decoder(params, h,
                                      _spec_decoder("conv", 4*CNUM),
-                                     precision))
+                                     precision, pack))
 
     # composite for stage 2
     if not config.no_mask_coarse:
@@ -234,9 +237,9 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     else:
         xnow = x_stage1
 
-    x_hallu = _run_encoder(params, xnow, _SPEC_XCONV, precision)
+    x_hallu = _run_encoder(params, xnow, _SPEC_XCONV, precision, pack)
 
-    pm = _run_encoder(params, xnow, _SPEC_PMCONV, precision)
+    pm = _run_encoder(params, xnow, _SPEC_PMCONV, precision, pack)
     if config.use_cam:
         pm = _attention(pm, mask, config, precision)
     pm = _run(params, pm, _SPEC_PM_POST, precision)
@@ -244,7 +247,7 @@ def apply(params, x, x2, mask, mask2, guide=None, *,
     h = jnp.concatenate([x_hallu, pm], axis=-1)
     x_stage2 = jnp.tanh(_run_decoder(params, h,
                                      _spec_decoder("allconv", 4*CNUM),
-                                     precision))
+                                     precision, pack))
     return x_stage1, x_stage2
 
 

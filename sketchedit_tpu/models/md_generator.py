@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from sketchedit_tpu.ops.gated_conv import (
     gated_conv2d, gated_deconv2d, init_conv_params)
 from sketchedit_tpu.ops.packed_tail import (
-    packed_decoder_tail, packed_encoder_front)
+    packed_decoder_tail, packed_encoder_front, use_packing)
 
 CNUM = 48
 
@@ -85,33 +85,37 @@ def _run(params, x, specs, precision):
     return x
 
 
-def _run_decoder(params, x, specs, precision):
+def _run_decoder(params, x, specs, precision, pack):
     """Decoder runner: the final upsample->conv->head segment executes on
     the space-to-depth-packed grid (ops/packed_tail.py) — same math, far
     better MXU lane utilization at the full-resolution/narrow-channel tail.
     """
     x = _run(params, x, specs[:-3], precision)
     # The packed tail quadruples tail FLOPs for 4x better lane utilization
-    # — a win while the batch axis leaves lanes idle (B < 64 measured
-    # crossover on v5e), a loss once batch already fills them.
-    if x.shape[0] < 64:
+    # — crossover policy centralized in ops.packed_tail.use_packing.
+    if pack:
         up, mid, head = (specs[-3][0], specs[-2][0], specs[-1][0])
         return packed_decoder_tail(params[up], params[mid], params[head], x,
                                    precision=precision)
     return _run(params, x, specs[-3:], precision)
 
 
-def apply(params, image, sketch, *, precision=None):
+def apply(params, image, sketch, *, precision=None, pack: bool | None = None):
     """netM forward.
 
     Args:
       image: (B, H, W, 3) in [-1, 1].
       sketch: (B, H, W, 1) binary line drawing.
+      pack: force the space-to-depth packed fronts/tails on or off
+        (None = the measured inference crossover; trainers pass False —
+        the packed segments lose in autodiff graphs, see use_packing).
     Returns:
       (soft_mask (B,H,W,1) in (0,1), mask_image (B,H,W,3) in (-1,1)).
     """
     x = jnp.concatenate([image, sketch], axis=-1)
-    if x.shape[0] < 64:
+    if pack is None:
+        pack = use_packing(x.shape[0])
+    if pack:
         # packed front: see ops/packed_tail.packed_encoder_front
         x = packed_encoder_front(params["conv1"],
                                  params["conv2_downsample"], x,
@@ -128,9 +132,9 @@ def apply(params, image, sketch, *, precision=None):
                            precision=precision)  # mask-branch bottleneck
 
     mask_image = jnp.tanh(
-        _run_decoder(params, x_pre, _IMAGE_DECODER, precision))
+        _run_decoder(params, x_pre, _IMAGE_DECODER, precision, pack))
     soft_mask = jax.nn.sigmoid(
-        _run_decoder(params, x_bneck, _MASK_DECODER, precision))
+        _run_decoder(params, x_bneck, _MASK_DECODER, precision, pack))
     return soft_mask, mask_image
 
 

@@ -16,7 +16,7 @@ Semantics match the reference generator primitives
 Everything here is a pure function of a ``{'w': HWIO, 'b': (O,)}`` params
 dict; weights live in HWIO so the MXU sees channel-last contractions without
 relayout. All math stays in the input dtype except the conv accumulation,
-which XLA keeps in fp32 via ``preferred_element_type``.
+which the MXU accumulates in fp32 internally regardless of output dtype.
 """
 
 from __future__ import annotations
@@ -47,7 +47,6 @@ def conv2d(params, x, *, stride: int = 1, rate: int = 1, precision=None):
         rhs_dilation=(rate, rate),
         dimension_numbers=_DIMNUMS,
         precision=precision,
-        preferred_element_type=jnp.float32,
     )
     y = y.astype(x.dtype) + params["b"].astype(x.dtype)
     return y
@@ -105,7 +104,6 @@ def gated_deconv2d(params, x, *, activation: str | None = "elu",
     y = lax.conv_general_dilated(
         x, w4, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
         dimension_numbers=_DIMNUMS, precision=precision,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype) + params["b"].astype(x.dtype)
     cout = w.shape[-1]
     if cout == 3 or activation is None:
@@ -126,7 +124,6 @@ def leaky_conv2d(params, x, *, stride: int = 2, negative_slope: float = 0.01,
     y = lax.conv_general_dilated(
         x, w, (stride, stride), [(p, p), (p, p)],
         dimension_numbers=_DIMNUMS, precision=precision,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype) + params["b"].astype(x.dtype)
     return jax.nn.leaky_relu(y, negative_slope)
 

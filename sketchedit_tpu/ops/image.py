@@ -78,5 +78,4 @@ def gaussian_blur3x3(x, sigma: float = 2.0):
         xp, w, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)

@@ -23,12 +23,33 @@ reshape-based space/depth transform.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def use_packing(batch: int) -> bool:
+    """The single crossover decision for the space-to-depth packed layers.
+
+    Measured on v5e-1 at 256^2: packing wins while the batch axis leaves
+    MXU lanes idle (B < 64); at B >= 128 XLA's batch-in-lanes layouts
+    already saturate and the packed path's 4x FLOPs lose. Measured in
+    TRAINING graphs too: packing wins there as well (72.5 vs 51.1 img/s at
+    b16/256^2) — the layout copies XLA inserts around the packed conv
+    backwards (~15% of step time) are still cheaper than the unpacked
+    narrow-channel tail backwards.
+
+    Env override SKETCHEDIT_PACK=0/1 forces it off/on for experiments.
+    """
+    force = os.environ.get("SKETCHEDIT_PACK")
+    if force is not None and force != "":
+        return force != "0"
+    return batch < 64
 
 
 def _build_maps(k: int = 3):
@@ -109,7 +130,6 @@ def _conv(x, w, b, precision):
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=_DIMNUMS, precision=precision,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     return y + jnp.tile(b, 4).astype(x.dtype)
 
@@ -138,7 +158,6 @@ def packed_encoder_front(p1, p2, x, *, precision=None):
     y = lax.conv_general_dilated(
         h, s2d_stride2_weights(p2["w"]).astype(h.dtype), (1, 1),
         [(1, 0), (1, 0)], dimension_numbers=_DIMNUMS, precision=precision,
-        preferred_element_type=jnp.float32,
     ).astype(h.dtype) + p2["b"].astype(h.dtype)
     a, g = y[..., :cout2 // 2], y[..., cout2 // 2:]
     return jax.nn.elu(a) * jax.nn.sigmoid(g)

@@ -49,6 +49,10 @@ class TrainConfig:
     no_TTUR: bool = False
     mask_threshold: float = 0.5
     precision: str | None = None
+    # Mixed precision: network forwards/backwards run in this dtype
+    # (params, optimizer moments, and losses stay fp32 — the master-weight
+    # pattern; bf16 shares fp32's exponent range so no loss scaling).
+    compute_dtype: str = "float32"
     # Fresh-training init. The reference default (xavier gain 0.02,
     # base_options.py:56-57) yields ~6e-4-std weights that underflow
     # gradients through this norm-free 17-layer stack; kaiming keeps signal
@@ -150,14 +154,19 @@ def generate_fake_train(gen_params, batch, flag, cfg: TrainConfig):
     flag 2: thresholded predicted mask.
     """
     prec = cfg.lax_precision
-    inputs, real = batch["image"], batch["gt"]
-    line, line_full = batch["mask"], batch["edgegt"]
+    cdt = jnp.dtype(cfg.compute_dtype)
+    # network compute in cfg.compute_dtype (conv weights are cast per-op to
+    # the activation dtype); everything returned is fp32 for the losses
+    inputs = batch["image"].astype(cdt)
+    real = batch["gt"].astype(cdt)
+    line = batch["mask"].astype(cdt)
+    line_full = batch["edgegt"].astype(cdt)
 
     soft_mask, mask_image = md_generator.apply(
         gen_params["M"], inputs, line, precision=prec)
 
     def branch_inpaint(_):
-        m = batch["random_mask"]
+        m = batch["random_mask"].astype(cdt)
         return m, line_full * m, real
 
     def branch_soft(_):
@@ -172,15 +181,18 @@ def generate_fake_train(gen_params, batch, flag, cfg: TrainConfig):
     mask_inpaint, line_inpaint, inputs0 = jax.lax.switch(
         flag, (branch_inpaint, branch_soft, branch_hard), None)
 
-    rm2 = (1.0 - batch["random_mask2"]) * mask_inpaint
+    rm2 = (1.0 - batch["random_mask2"].astype(cdt)) * mask_inpaint
 
     coarse, fake = deepfill_c2.apply(
         gen_params["G"], inputs0, inputs, mask_inpaint, rm2, line_inpaint,
         config=cfg.netg, precision=prec)
+    f32 = jnp.float32
     return {
-        "coarse": coarse, "fake": fake, "mask": soft_mask,
-        "mask_image": mask_image, "mask_inpaint": mask_inpaint,
-        "line_inpaint": line_inpaint, "input_inpaint": inputs0,
+        "coarse": coarse.astype(f32), "fake": fake.astype(f32),
+        "mask": soft_mask.astype(f32), "mask_image": mask_image.astype(f32),
+        "mask_inpaint": mask_inpaint.astype(f32),
+        "line_inpaint": line_inpaint.astype(f32),
+        "input_inpaint": inputs0.astype(f32),
     }
 
 
@@ -189,11 +201,12 @@ def _discriminate(d_params, fake_image, real_image, line, inputs, mask,
     """Concat-batch discrimination (editline2_model.py:375-390): fake is
     composited over real with the detached mask, fake and real share one
     batch, predictions split back."""
+    cdt = jnp.dtype(cfg.compute_dtype)
     m = jax.lax.stop_gradient(mask)
     fake_comp = fake_image * m + real_image * (1.0 - m)
-    both = jnp.concatenate([fake_comp, real_image], axis=0)
-    line2 = jnp.concatenate([line, line], axis=0)
-    cc2 = jnp.concatenate([inputs, inputs], axis=0)
+    both = jnp.concatenate([fake_comp, real_image], axis=0).astype(cdt)
+    line2 = jnp.concatenate([line, line], axis=0).astype(cdt)
+    cc2 = jnp.concatenate([inputs, inputs], axis=0).astype(cdt)
     out = discriminator.apply(d_params, both, line2, cc2,
                               precision=cfg.lax_precision,
                               update_sn=update_sn)
@@ -201,6 +214,7 @@ def _discriminate(d_params, fake_image, real_image, line, inputs, mask,
         logits, new_d = out
     else:
         logits, new_d = out, None
+    logits = logits.astype(jnp.float32)
     n = logits.shape[0] // 2
     return logits[:n], logits[n:], new_d
 

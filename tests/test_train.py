@@ -127,6 +127,33 @@ def test_partial_update_mask_only():
     assert not np.allclose(m0, m1)
 
 
+def test_train_step_bfloat16_mixed_precision():
+    """compute_dtype=bfloat16: params/optimizer stay fp32 (master weights),
+    the step runs, updates land, and losses agree loosely with fp32."""
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+    losses_by_dtype = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = TrainConfig(compute_dtype=dt,
+                          netg=__import__(
+                              "sketchedit_tpu.models.deepfill_c2",
+                              fromlist=["DeepFillConfig"]).DeepFillConfig(
+                              attention_impl="xla"))
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        new_state, metrics = jax.jit(
+            lambda st, b, k, c=cfg: train_step(st, b, k, c))(
+            state, batch, jax.random.PRNGKey(7))
+        w0 = np.asarray(state["params"]["G"]["conv1"]["w"])
+        w1 = np.asarray(new_state["params"]["G"]["conv1"]["w"])
+        assert w1.dtype == np.float32          # master weights stay fp32
+        assert np.abs(w1 - w0).max() > 0
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        losses_by_dtype[dt] = {k: float(v) for k, v in metrics.items()}
+    a, b = losses_by_dtype["float32"], losses_by_dtype["bfloat16"]
+    assert a["flag"] == b["flag"]              # same branch drawn
+    np.testing.assert_allclose(a["G_total"], b["G_total"], rtol=0.05)
+    np.testing.assert_allclose(a["L1c"], b["L1c"], rtol=0.05)
+
+
 def test_lr_linear_decay_schedule():
     """--niter_decay: constant lr through the boundary step, then linear to
     zero. Adam with a constant gradient steps by exactly lr, so the update

@@ -56,7 +56,8 @@ def main():
         update_part=opt.update_part, lr=opt.lr, beta1=opt.beta1,
         beta2=opt.beta2, no_TTUR=opt.no_TTUR, remat=opt.remat,
         lr_decay_start=opt.niter * steps_per_epoch,
-        lr_decay_steps=opt.niter_decay * steps_per_epoch)
+        lr_decay_steps=opt.niter_decay * steps_per_epoch,
+        compute_dtype=opt.compute_dtype)
     vgg_params = None if cfg.no_vgg_loss else load_vgg_params()
 
     state = init_train_state(jax.random.PRNGKey(0), cfg)
