@@ -65,9 +65,17 @@ def _spectral_normalize(p):
 def apply(params, image, line, cc, *, precision=None, update_sn: bool = False):
     """Patch logits for `concat([image, line, cc])`.
 
+    Single-scale params (layer dicts) return one logits map; multiscale
+    params ({'scale0': ..., 'scale1': ...}, init_multiscale_params) return a
+    LIST of logits, coarsest last — the shape the reference's divide_pred
+    list branch expects (editline2_model.py:397-406).
+
     Returns (logits, new_params) when update_sn else logits; new_params
     carries the updated power-iteration vectors.
     """
+    if "scale0" in params:
+        return _apply_multiscale(params, image, line, cc,
+                                 precision=precision, update_sn=update_sn)
     x = jnp.concatenate([image, line, cc], axis=-1)
     new_params = {}
     for name, _cin, _cout in _SPECS:
@@ -82,3 +90,60 @@ def apply(params, image, line, cc, *, precision=None, update_sn: bool = False):
     if update_sn:
         return x, new_params
     return x
+
+
+def trainable(params):
+    """The gradient-carrying subtree: every layer's {w, b} without the
+    power-iteration u vectors (works for single and multiscale params)."""
+    if "w" in params:
+        return {"w": params["w"], "b": params["b"]}
+    return {k: trainable(v) for k, v in params.items()}
+
+
+def with_u(trainable_tree, u_source):
+    """Re-attach u vectors from u_source onto a trainable subtree."""
+    if "w" in trainable_tree:
+        return {**trainable_tree, "u": u_source["u"]}
+    return {k: with_u(v, u_source[k]) for k, v in trainable_tree.items()}
+
+
+# --- multiscale variant (SPADE-family MultiscaleDiscriminator shape) --------
+
+def init_multiscale_params(key, *, num_d: int = 2, ndf: int = 64,
+                           dtype=jnp.float32):
+    """num_d independent SN-PatchGANs; scale i sees the input avg-pooled
+    2^i times (SPADE MultiscaleDiscriminator semantics with the reference
+    netD(img, line, cc) call surface)."""
+    keys = jax.random.split(key, num_d)
+    return {f"scale{i}": init_params(k, ndf=ndf, dtype=dtype)
+            for i, k in enumerate(keys)}
+
+
+def _downsample2(x):
+    """3x3 stride-2 avg pool, count-includes-pad (SPADE's nn.AvgPool2d(3,
+    2, padding=1, count_include_pad=False) approximated with edge pad)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = jax.lax.reduce_window(xp, 0.0, jax.lax.add, (1, 3, 3, 1),
+                                (1, 2, 2, 1), "VALID")
+    return out / 9.0
+
+
+def _apply_multiscale(params, image, line, cc, *, precision=None,
+                      update_sn: bool = False):
+    logits = []
+    new_params = {}
+    num_d = len(params)
+    for i in range(num_d):
+        name = f"scale{i}"
+        out = apply(params[name], image, line, cc, precision=precision,
+                    update_sn=update_sn)
+        if update_sn:
+            li, new_params[name] = out
+        else:
+            li = out
+        logits.append(li)
+        if i + 1 < num_d:
+            image, line, cc = map(_downsample2, (image, line, cc))
+    if update_sn:
+        return logits, new_params
+    return logits

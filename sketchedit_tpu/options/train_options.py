@@ -49,7 +49,10 @@ class TrainOptions(BaseOptions):
         parser.add_argument('--load_pretrained_g', type=str)
         parser.add_argument('--load_pretrained_d', type=str)
         # discriminator
-        parser.add_argument('--netD', type=str, default='sngan')
+        parser.add_argument('--netD', type=str, default='sngan',
+                            choices=('sngan', 'multiscale'))
+        parser.add_argument('--num_D', type=int, default=2,
+                            help='scales for --netD multiscale')
         parser.add_argument('--ndf', type=int, default=64)
         # synthetic masks (MaskCreator, create_mask.py + editline2_model.py:206-221)
         parser.add_argument('--path_objectshape_list', type=str)

@@ -27,7 +27,14 @@ def l1_loss(a, b):
 
 def gan_loss(pred, target_is_real: bool, *, mode: str = "hinge",
              for_discriminator: bool = True):
-    """Standard adversarial objectives on patch logits."""
+    """Standard adversarial objectives on patch logits.
+
+    A list of logits (multiscale discriminator) averages the per-scale
+    losses — SPADE GANLoss's list branch semantics."""
+    if isinstance(pred, (list, tuple)):
+        per = [gan_loss(p, target_is_real, mode=mode,
+                        for_discriminator=for_discriminator) for p in pred]
+        return sum(per) / len(per)
     if mode == "hinge":
         if for_discriminator:
             if target_is_real:

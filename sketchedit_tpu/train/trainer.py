@@ -43,6 +43,8 @@ class TrainConfig:
     filt_maskim: bool = False
     no_detach: bool = False
     update_part: str = "all"
+    netd: str = "sngan"              # 'sngan' | 'multiscale'
+    num_d: int = 2                   # scales for netd='multiscale'
     lr: float = 2e-4
     beta1: float = 0.0
     beta2: float = 0.9
@@ -133,15 +135,17 @@ def init_train_state(key, cfg: TrainConfig, dtype=jnp.float32):
                                       dtype=dtype),
         "G": deepfill_c2.init_params(kg, init_type=cfg.init_type,
                                      dtype=dtype),
-        "D": discriminator.init_params(kd, dtype=dtype),
+        "D": (discriminator.init_multiscale_params(kd, num_d=cfg.num_d,
+                                                   dtype=dtype)
+              if cfg.netd == "multiscale"
+              else discriminator.init_params(kd, dtype=dtype)),
     }
     gen_params = {"M": params["M"], "G": params["G"]}
     opt_g, opt_d = make_optimizers(cfg)
     return {
         "params": params,
         "opt_g": opt_g.init(gen_params),
-        "opt_d": opt_d.init({k: {"w": v["w"], "b": v["b"]}
-                             for k, v in params["D"].items()}),
+        "opt_d": opt_d.init(discriminator.trainable(params["D"])),
         "step": jnp.zeros((), jnp.int32),
     }
 
@@ -214,9 +218,19 @@ def _discriminate(d_params, fake_image, real_image, line, inputs, mask,
         logits, new_d = out
     else:
         logits, new_d = out, None
-    logits = logits.astype(jnp.float32)
-    n = logits.shape[0] // 2
-    return logits[:n], logits[n:], new_d
+
+    def divide(t):
+        # divide_pred (editline2_model.py:392-406): the concat batch splits
+        # back into fake/real halves; the list branch handles multiscale D
+        t = t.astype(jnp.float32)
+        n = t.shape[0] // 2
+        return t[:n], t[n:]
+
+    if isinstance(logits, list):
+        pairs = [divide(t) for t in logits]
+        return [f for f, _ in pairs], [r for _, r in pairs], new_d
+    fake, real = divide(logits)
+    return fake, real, new_d
 
 
 def g_image_loss(d_params, gen, batch, cfg: TrainConfig, vgg_params=None,
@@ -323,12 +337,10 @@ def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
         new_opt_d = state["opt_d"]
         d_metrics = {}
     else:
-        d_trainable = {k: {"w": v["w"], "b": v["b"]}
-                       for k, v in params["D"].items()}
+        d_trainable = discriminator.trainable(params["D"])
 
         def d_total(dt):
-            d_full = {k: {**dt[k], "u": params["D"][k]["u"]}
-                      for k in dt}
+            d_full = discriminator.with_u(dt, params["D"])
             loss, aux = d_loss_fn(d_full, gen_params, batch, flag_d, cfg)
             return loss, aux
 
@@ -337,8 +349,7 @@ def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
         d_updates, new_opt_d = opt_d.update(d_grads, state["opt_d"],
                                             d_trainable)
         d_trainable = optax.apply_updates(d_trainable, d_updates)
-        new_params["D"] = {k: {**d_trainable[k], "u": new_d[k]["u"]}
-                           for k in d_trainable}
+        new_params["D"] = discriminator.with_u(d_trainable, new_d)
         d_metrics = {"D_Fake": d_fake, "D_real": d_real}
 
     new_state = {

@@ -127,6 +127,41 @@ def test_partial_update_mask_only():
     assert not np.allclose(m0, m1)
 
 
+def test_train_step_multiscale_discriminator():
+    """--netD multiscale: list logits flow through divide_pred's list
+    branch (editline2_model.py:397-406 analog), per-scale GAN losses
+    average, and the D update lands on every scale."""
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+    cfg = TrainConfig(netd="multiscale", num_d=2,
+                      netg=DeepFillConfig(attention_impl="xla"))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert set(state["params"]["D"]) == {"scale0", "scale1"}
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+    new_state, metrics = jax.jit(
+        lambda st, b, k: train_step(st, b, k, cfg))(
+        state, batch, jax.random.PRNGKey(3))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    for scale in ("scale0", "scale1"):
+        w0 = np.asarray(state["params"]["D"][scale]["dconv1"]["w"])
+        w1 = np.asarray(new_state["params"]["D"][scale]["dconv1"]["w"])
+        assert np.abs(w1 - w0).max() > 0, scale
+
+
+def test_multiscale_logit_shapes_and_gan_loss_list():
+    from sketchedit_tpu.models import discriminator as D
+    from sketchedit_tpu.train import losses
+    params = D.init_multiscale_params(jax.random.PRNGKey(1), num_d=2)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(2, 128, 128, 3).astype(np.float32))
+    line = jnp.asarray(rs.randn(2, 128, 128, 1).astype(np.float32))
+    logits = D.apply(params, img, line, img)
+    assert isinstance(logits, list) and len(logits) == 2
+    assert logits[1].shape[1] == logits[0].shape[1] // 2   # pooled scale
+    per = [float(losses.gan_loss(l, True, mode="hinge")) for l in logits]
+    combined = float(losses.gan_loss(logits, True, mode="hinge"))
+    np.testing.assert_allclose(combined, sum(per) / 2, rtol=1e-6)
+
+
 def test_train_step_bfloat16_mixed_precision():
     """compute_dtype=bfloat16: params/optimizer stay fp32 (master weights),
     the step runs, updates land, and losses agree loosely with fp32."""

@@ -53,6 +53,7 @@ def main():
         no_gan_loss=opt.no_gan_loss,
         no_vgg_loss=opt.no_vgg_loss or load_vgg_params() is None,
         filt_maskim=opt.filt_maskim, no_detach=opt.no_detach,
+        netd=opt.netD, num_d=opt.num_D,
         update_part=opt.update_part, lr=opt.lr, beta1=opt.beta1,
         beta2=opt.beta2, no_TTUR=opt.no_TTUR, remat=opt.remat,
         lr_decay_start=opt.niter * steps_per_epoch,
