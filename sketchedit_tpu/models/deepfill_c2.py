@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from sketchedit_tpu.ops.gated_conv import (
     gated_conv2d, gated_deconv2d, init_conv_params)
 from sketchedit_tpu.ops.packed_tail import (
-    packed_decoder_tail, packed_encoder_front, use_packing)
+    packed_decoder_tail, packed_decoder_tail5, packed_encoder_front,
+    use_mid_packing, use_packing)
 from sketchedit_tpu.ops.image import avg_pool2d
 from sketchedit_tpu.ops.attention import (
     contextual_attention, splitcam_attention, SplitCAMConfig)
@@ -153,9 +154,16 @@ def _run_encoder(params, x, specs, precision, pack):
 
 
 def _run_decoder(params, x, specs, precision, pack):
-    """Decoder with the final upsample->conv->head segment on the packed
-    grid (ops/packed_tail.py) — exact math, better lane utilization.
-    Crossover policy centralized in ops.packed_tail.use_packing."""
+    """Decoder with the upsample/head segment on the packed grid
+    (ops/packed_tail.py) — exact math, better lane utilization. Crossover
+    policy centralized in ops.packed_tail.use_packing; use_mid_packing
+    additionally extends the packed segment to the 128^2-level layers
+    (conv13_upsample/conv14) via the composed double-packed deconv."""
+    if pack and use_mid_packing():
+        x = _run(params, x, specs[:-5], precision)
+        names = [s[0] for s in specs[-5:]]
+        return packed_decoder_tail5(*(params[n] for n in names), x,
+                                    precision=precision)
     x = _run(params, x, specs[:-3], precision)
     if pack:
         up, mid, head = (specs[-3][0], specs[-2][0], specs[-1][0])

@@ -52,6 +52,21 @@ def use_packing(batch: int) -> bool:
     return batch < 64
 
 
+def use_mid_packing() -> bool:
+    """Whether the 5-layer double-packed decoder tail (128^2-level segment
+    included) replaces the 3-layer one. MEASURED DEAD END on v5e-1: loses
+    at every shape tried (256^2: b1 139 vs 141, b8 450 vs 478, b32 488 vs
+    522 img/s; 512^2 b8 101 vs 104.6) — the 128^2-level layers' 48-96
+    effective channels already use lanes well enough that the packed
+    path's 4x FLOPs don't pay. Kernel kept (exactness-tested) as the
+    building block + the record of the measurement.
+    Env SKETCHEDIT_PACK_MID=1 re-enables for experiments."""
+    force = os.environ.get("SKETCHEDIT_PACK_MID")
+    if force is not None and force != "":
+        return force != "0"
+    return False
+
+
 def _build_maps(k: int = 3):
     """Constant scatter maps from a kxk kernel to packed kernels."""
     half = k // 2
@@ -112,6 +127,50 @@ def s2d_stride2_weights(w):
     return wp.reshape(2, 2, 4 * ci, co)
 
 
+def _build_double_deconv_map():
+    """Tap map for the pack2->pack2 deconv: nearest-x2-upsample + 3x3 conv
+    taking a pack-2 image on grid G to the pack-2 OUTPUT image on grid 2G,
+    as one lhs_dilation=2 conv with a 4x4 kernel.
+
+    Derivation per axis: output 4x-res pixel q = 4I + 2*alpha + a
+    (I = input-grid cell, alpha = output-grid sub-cell, a = output phase);
+    the upsample+conv tap reads input 2x-res pixel u = (q + dy - 1) // 2 =
+    2I + alpha + s with s = floor((a + dy - 1)/2); u's packed coordinates
+    are cell I + floor((alpha+s)/2), phase (alpha+s) % 2; the lhs-dilated
+    kernel index is k = 2*floor((alpha+s)/2) + 2 - alpha (always in 0..3).
+    """
+    t = np.zeros((4, 4, 4, 4, 3, 3), np.float32)  # (ky,kx,pin,pout,dy,dx)
+    for ay in range(2):
+        for dy in range(3):
+            sy = (ay + dy - 1) // 2
+            for aly in range(2):
+                ty = aly + sy
+                ky = 2 * (ty // 2) + 2 - aly
+                piny = ty % 2
+                for ax in range(2):
+                    for dx in range(3):
+                        sx = (ax + dx - 1) // 2
+                        for alx in range(2):
+                            tx = alx + sx
+                            kx = 2 * (tx // 2) + 2 - alx
+                            pinx = tx % 2
+                            t[ky, kx, piny * 2 + pinx, ay * 2 + ax,
+                              dy, dx] += 1.0
+    return t
+
+
+_T_DOUBLE_DECONV = _build_double_deconv_map()
+
+
+def double_packed_deconv_weights(w):
+    """(3,3,Ci,Co) -> (4,4,4Ci,4Co) for the pack2(grid G) -> pack2(grid 2G)
+    upsample+conv (use with lhs_dilation=2, padding (2,2))."""
+    ci, co = w.shape[2], w.shape[3]
+    t = jnp.asarray(_T_DOUBLE_DECONV, w.dtype)
+    wp = jnp.einsum("YXQPab,abio->YXQiPo", t, w)
+    return wp.reshape(4, 4, 4 * ci, 4 * co)
+
+
 def space_to_depth2x(x):
     B, H, W, C = x.shape
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
@@ -161,6 +220,44 @@ def packed_encoder_front(p1, p2, x, *, precision=None):
     ).astype(h.dtype) + p2["b"].astype(h.dtype)
     a, g = y[..., :cout2 // 2], y[..., cout2 // 2:]
     return jax.nn.elu(a) * jax.nn.sigmoid(g)
+
+
+def packed_decoder_tail5(p_up1, p_mid1, p_up2, p_mid2, p_head, x, *,
+                         precision=None):
+    """The last FIVE decoder layers (conv13_upsample, conv14,
+    conv15_upsample, conv16, conv17 — both x2 upsamples included) computed
+    entirely on packed grids: the 2x-resolution segment runs pack-2 on the
+    input grid, the 4x-resolution segment pack-2 on the doubled grid via
+    the composed double-packed deconv kernel. One depth-to-space on the
+    1-3 channel head output at the very end. Exact math.
+
+    x: the bottleneck-resolution features feeding the first upsample.
+    """
+    co_up1 = p_up1["w"].shape[-1]
+    co_mid1 = p_mid1["w"].shape[-1]
+    co_up2 = p_up2["w"].shape[-1]
+    co_mid2 = p_mid2["w"].shape[-1]
+    co_head = p_head["w"].shape[-1]
+
+    # 2x-res segment on the input grid (pack-2)
+    h = _conv(x, deconv_packed_weights(p_up1["w"]), p_up1["b"], precision)
+    h = _gate_packed(h, co_up1, "elu")
+    h = _conv(h, s2d_conv_weights(p_mid1["w"]), p_mid1["b"], precision)
+    h = _gate_packed(h, co_mid1, "elu")
+
+    # pack2(grid) -> pack2(2*grid): the composed double-packed deconv
+    y = lax.conv_general_dilated(
+        h, double_packed_deconv_weights(p_up2["w"]).astype(h.dtype),
+        (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=_DIMNUMS, precision=precision,
+    ).astype(h.dtype) + jnp.tile(p_up2["b"], 4).astype(h.dtype)
+    y = _gate_packed(y, co_up2, "elu")
+
+    # 4x-res segment on the doubled grid (pack-2)
+    y = _conv(y, s2d_conv_weights(p_mid2["w"]), p_mid2["b"], precision)
+    y = _gate_packed(y, co_mid2, "elu")
+    y = _conv(y, s2d_conv_weights(p_head["w"]), p_head["b"], precision)
+    return depth_to_space2x(y, co_head)
 
 
 def packed_decoder_tail(p_up, p_mid, p_head, x, *, precision=None):
