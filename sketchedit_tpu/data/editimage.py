@@ -16,7 +16,7 @@ import numpy as np
 from PIL import Image
 
 from sketchedit_tpu.data.transforms import (
-    get_params, apply_transform, image_to_array)
+    get_params, apply_transform, color_jitter, image_to_array)
 from sketchedit_tpu.data.mask_creator import MaskCreator, external_mask
 from sketchedit_tpu.data.image_folder import make_dataset
 
@@ -74,7 +74,9 @@ class EditImageDataset:
             use_object_masks=not getattr(self.opt, 'not_om', False))
         line = edgegt * region[:, :, None]
 
-        image = image_to_array(img)
+        # --cjit: photometric-only, after edge extraction (edges describe
+        # the un-jittered structure; a jittered binary map would be corrupt)
+        image = image_to_array(color_jitter(img, params.jitter))
         return {
             'image': image,
             'gt': image,

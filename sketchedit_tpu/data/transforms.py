@@ -22,6 +22,8 @@ class TransformParams:
     crop_pos: tuple[int, int]
     flip: bool
     new_size: tuple[int, int]       # (w, h) after the resize stage
+    jitter: tuple | None = None     # (order, (brightness, contrast,
+    #                                  saturation, hue)) — see color_jitter
 
 
 def get_params(opt, size, rng: np.random.Generator | None = None):
@@ -42,7 +44,21 @@ def get_params(opt, size, rng: np.random.Generator | None = None):
     x = int(rng.integers(0, max(1, new_w - opt.crop_size)))
     y = int(rng.integers(0, max(1, new_h - opt.crop_size)))
     flip = bool(rng.random() > 0.5)
-    return TransformParams((x, y), flip, (new_w, new_h))
+
+    # --cjit (base_dataset.py:69-70: ColorJitter(c, c, c, c) at train
+    # time): torchvision sampling — multiplicative factors from
+    # U[max(0, 1-c), 1+c], hue shift from U[-min(c, .5), min(c, .5)],
+    # applied in a random order.
+    jitter = None
+    c = getattr(opt, "cjit", None)
+    if getattr(opt, "isTrain", False) and c is not None:
+        def factor():
+            return float(rng.uniform(max(0.0, 1.0 - c), 1.0 + c))
+        hue_amp = min(float(c), 0.5)
+        jitter = (tuple(rng.permutation(4)),
+                  (factor(), factor(), factor(),
+                   float(rng.uniform(-hue_amp, hue_amp))))
+    return TransformParams((x, y), flip, (new_w, new_h), jitter)
 
 
 def _scale_width(img, target, method):
@@ -91,6 +107,34 @@ def apply_transform(opt, img: Image.Image, params: TransformParams, *,
     is_train = opt.isTrain if is_train is None else is_train
     if is_train and not getattr(opt, 'no_flip', True) and params.flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    return img
+
+
+def color_jitter(img: Image.Image, jitter) -> Image.Image:
+    """torchvision-style ColorJitter on an RGB PIL image.
+
+    jitter = (order, (brightness, contrast, saturation, hue)): the first
+    three are PIL ImageEnhance factors (1.0 = identity, matching
+    torchvision's blend formulation); hue is a fraction of the hue circle
+    in [-0.5, 0.5]. Applied photometrically only — callers keep it OFF the
+    sketch/edge channels (a jittered binary edge map would be corrupt)."""
+    if jitter is None:
+        return img
+    from PIL import ImageEnhance
+    order, (b, c, s, hue) = jitter
+    for t in order:
+        if t == 0:
+            img = ImageEnhance.Brightness(img).enhance(b)
+        elif t == 1:
+            img = ImageEnhance.Contrast(img).enhance(c)
+        elif t == 2:
+            img = ImageEnhance.Color(img).enhance(s)
+        elif hue != 0.0:
+            h, sat, v = img.convert("HSV").split()
+            arr = np.asarray(h, dtype=np.int16)
+            arr = ((arr + int(round(hue * 255))) % 256).astype(np.uint8)
+            img = Image.merge(
+                "HSV", (Image.fromarray(arr, "L"), sat, v)).convert("RGB")
     return img
 
 

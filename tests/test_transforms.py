@@ -85,3 +85,60 @@ def test_binarize_sketch_resizes_to_image():
     out = binarize_sketch(sk, (20, 20))
     assert out.shape == (20, 20, 1)
     assert set(np.unique(out)).issubset({0.0, 1.0})
+
+
+def test_color_jitter_params_drawn_only_at_train():
+    from sketchedit_tpu.data.transforms import get_params
+    base = dict(preprocess_mode='resize_and_crop', load_size=32,
+                crop_size=32)
+    rng = np.random.default_rng(0)
+    opt_train = argparse.Namespace(**base, isTrain=True, cjit=0.3)
+    opt_test = argparse.Namespace(**base, isTrain=False, cjit=0.3)
+    opt_nocj = argparse.Namespace(**base, isTrain=True, cjit=None)
+    assert get_params(opt_train, (64, 64), rng).jitter is not None
+    assert get_params(opt_test, (64, 64), rng).jitter is None
+    assert get_params(opt_nocj, (64, 64), rng).jitter is None
+    order, (b, c, s, h) = get_params(opt_train, (64, 64), rng).jitter
+    assert sorted(order) == [0, 1, 2, 3]
+    for f in (b, c, s):
+        assert 0.7 - 1e-9 <= f <= 1.3 + 1e-9   # U[1-c, 1+c]
+    assert -0.3 <= h <= 0.3
+
+
+def test_color_jitter_brightness_scales_pixels():
+    from sketchedit_tpu.data.transforms import color_jitter
+    img = Image.fromarray(np.full((8, 8, 3), 100, np.uint8))
+    out = color_jitter(img, ((0,), (0.5, 1.0, 1.0, 0.0)))
+    np.testing.assert_allclose(np.asarray(out), 50, atol=1)
+    # identity factors are a no-op
+    out2 = color_jitter(img, ((0, 1, 2, 3), (1.0, 1.0, 1.0, 0.0)))
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(img))
+
+
+def test_editimage_cjit_changes_image_not_edges(tmp_path):
+    pytest.importorskip("cv2")
+    from sketchedit_tpu.data.editimage import EditImageDataset
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            tmp_path / f"{i}.png")
+
+    def make(cjit):
+        opt = argparse.Namespace(
+            preprocess_mode='resize_and_crop', load_size=64, crop_size=64,
+            isTrain=True, no_flip=True, cjit=cjit,
+            train_image_dir=str(tmp_path), train_image_list=None,
+            canny_low=100, canny_high=200, not_om=True,
+            path_objectshape_list=None, path_objectshape_base=None)
+        ds = EditImageDataset()
+        ds.initialize(opt, seed=7)
+        return ds[0]
+
+    plain, jittered = make(None), make(0.5)
+    # geometry params are drawn before the jitter factors, so the crop —
+    # and with it the edge map — is identical; the sketch region differs
+    # (jitter draws consume RNG) but stays a subset of the edges; only the
+    # photometric channels move
+    np.testing.assert_array_equal(plain['edgegt'], jittered['edgegt'])
+    assert np.all(jittered['mask'] <= jittered['edgegt'])
+    assert np.abs(plain['image'] - jittered['image']).max() > 0.01
