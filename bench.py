@@ -75,6 +75,8 @@ def main():
             TrainConfig, init_train_state, train_step)
         tcfg = TrainConfig(netg=DeepFillConfig(attention_impl=ATTENTION),
                            compute_dtype=DTYPE,
+                           reuse_fake=os.environ.get(
+                               "BENCH_REUSE_FAKE", "0") == "1",
                            remat=os.environ.get("BENCH_REMAT", "0") == "1")
         state = init_train_state(jax.random.PRNGKey(0), tcfg)
         batch = {

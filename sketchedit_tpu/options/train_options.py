@@ -39,6 +39,10 @@ class TrainOptions(BaseOptions):
                             default=True)
         parser.add_argument('--filt_maskim', action='store_true')
         parser.add_argument('--no_detach', action='store_true')
+        parser.add_argument('--reuse_fake', action='store_true',
+                            help='speed option: reuse the G-step fakes for '
+                                 'the D update (skips the reference-exact '
+                                 'regeneration)')
         parser.add_argument('--remat', action='store_true',
                             help='rematerialize the generator forward in '
                                  'the backward pass (halves activation '

@@ -64,6 +64,12 @@ class TrainConfig:
     # ~30% step time for roughly halved activation memory; enables larger
     # per-chip train batches at 256^2+.
     remat: bool = False
+    # Speed option (OFF = reference-faithful): reuse the G-step's generated
+    # batch (detached) for the D update instead of re-running the generator
+    # forward. Deviates from the reference semantics in two ways: D sees
+    # the PRE-update G's fakes, and the G/D branch flags are coupled
+    # (editline2_model.py:340 draws them independently).
+    reuse_fake: bool = False
 
     @property
     def lax_precision(self):
@@ -283,10 +289,8 @@ def g_image_loss(d_params, gen, batch, cfg: TrainConfig, vgg_params=None,
     return G
 
 
-def d_loss_fn(d_params, gen_params, batch, flag, cfg: TrainConfig):
-    """Discriminator loss (editline2_model.py:318-336) + SN state update."""
-    gen = jax.lax.stop_gradient(
-        generate_fake_train(gen_params, batch, flag, cfg))
+def d_loss_from_gen(d_params, gen, batch, cfg: TrainConfig):
+    """Discriminator loss given an (already detached) generated batch."""
     composed = (gen["fake"] * gen["mask_inpaint"]
                 + gen["input_inpaint"] * (1 - gen["mask_inpaint"]))
     pred_fake, pred_real, new_d = _discriminate(
@@ -295,6 +299,15 @@ def d_loss_fn(d_params, gen_params, batch, flag, cfg: TrainConfig):
     d_fake = losses.gan_loss(pred_fake, False, mode=cfg.gan_mode)
     d_real = losses.gan_loss(pred_real, True, mode=cfg.gan_mode)
     return d_fake + d_real, (d_fake, d_real, new_d)
+
+
+def d_loss_fn(d_params, gen_params, batch, flag, cfg: TrainConfig):
+    """Discriminator loss (editline2_model.py:318-336) + SN state update.
+    Regenerates the fakes under stop_gradient with its own branch flag —
+    the reference's exact training distribution."""
+    gen = jax.lax.stop_gradient(
+        generate_fake_train(gen_params, batch, flag, cfg))
+    return d_loss_from_gen(d_params, gen, batch, cfg)
 
 
 def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
@@ -320,10 +333,10 @@ def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
     def g_total(gen_params):
         gen = gen_fwd(gen_params, batch, flag, cfg)
         G = g_image_loss(params["D"], gen, batch, cfg, vgg_params)
-        return sum(G.values()), G
+        return sum(G.values()), (G, gen)
 
     gen_params = {"M": params["M"], "G": params["G"]}
-    (g_sum, G_losses), g_grads = jax.value_and_grad(
+    (g_sum, (G_losses, gen_out)), g_grads = jax.value_and_grad(
         g_total, has_aux=True)(gen_params)
     gmask = _grad_mask(cfg, params)
     g_grads = jax.tree_util.tree_map(
@@ -341,8 +354,10 @@ def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
 
         def d_total(dt):
             d_full = discriminator.with_u(dt, params["D"])
-            loss, aux = d_loss_fn(d_full, gen_params, batch, flag_d, cfg)
-            return loss, aux
+            if cfg.reuse_fake:
+                return d_loss_from_gen(
+                    d_full, jax.lax.stop_gradient(gen_out), batch, cfg)
+            return d_loss_fn(d_full, gen_params, batch, flag_d, cfg)
 
         (_d_sum, (d_fake, d_real, new_d)), d_grads = jax.value_and_grad(
             d_total, has_aux=True)(d_trainable)

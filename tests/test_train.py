@@ -127,6 +127,28 @@ def test_partial_update_mask_only():
     assert not np.allclose(m0, m1)
 
 
+def test_train_step_reuse_fake():
+    """--reuse_fake: the D update consumes the G-step's generated batch
+    (no regeneration); both nets still update and metrics stay finite."""
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+    cfg = TrainConfig(reuse_fake=True,
+                      netg=DeepFillConfig(attention_impl="xla"))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+    new_state, metrics = jax.jit(
+        lambda st, b, k: train_step(st, b, k, cfg))(
+        state, batch, jax.random.PRNGKey(5))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    assert {"D_Fake", "D_real"} <= set(metrics)
+    for net in ("G", "M"):
+        w0 = np.asarray(state["params"][net]["conv1"]["w"])
+        w1 = np.asarray(new_state["params"][net]["conv1"]["w"])
+        assert np.abs(w1 - w0).max() > 0
+    w0 = np.asarray(state["params"]["D"]["dconv1"]["w"])
+    w1 = np.asarray(new_state["params"]["D"]["dconv1"]["w"])
+    assert np.abs(w1 - w0).max() > 0
+
+
 def test_train_step_multiscale_discriminator():
     """--netD multiscale: list logits flow through divide_pred's list
     branch (editline2_model.py:397-406 analog), per-scale GAN losses

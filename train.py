@@ -56,6 +56,7 @@ def main():
         netd=opt.netD, num_d=opt.num_D,
         update_part=opt.update_part, lr=opt.lr, beta1=opt.beta1,
         beta2=opt.beta2, no_TTUR=opt.no_TTUR, remat=opt.remat,
+        reuse_fake=opt.reuse_fake,
         lr_decay_start=opt.niter * steps_per_epoch,
         lr_decay_steps=opt.niter_decay * steps_per_epoch,
         compute_dtype=opt.compute_dtype)
