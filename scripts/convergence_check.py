@@ -1,0 +1,72 @@
+"""Training-stack convergence sanity (real TPU, ~1 min warm).
+
+Overfits the full G+D step on one fixed batch and asserts the L1 terms
+drop substantially — evidence the whole stack (bf16 mixed precision,
+Pallas attention forward+backward, TTUR, SN discriminator) actually
+learns, beyond the single-step unit tests.
+
+    python scripts/convergence_check.py [--steps 300] [--size 128]
+
+Measured reference run (v5e-1): L1c 1.25 -> 0.77, L1f 0.50 -> 0.34 over
+300 steps at 128^2 b8 bf16, lr 1e-3.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--ratio", type=float, default=0.7,
+                    help="final L1 must be below ratio * initial")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sketchedit_tpu.runner import enable_persistent_cache
+    enable_persistent_cache()
+    from sketchedit_tpu.train.trainer import (
+        TrainConfig, init_train_state, train_step)
+
+    cfg = TrainConfig(compute_dtype=args.dtype, lr=args.lr)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    B, S = args.batch, args.size
+    img = rs.uniform(-1, 1, (B, S, S, 3)).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in {
+        "image": img, "gt": img,
+        "mask": (rs.rand(B, S, S, 1) > 0.95).astype(np.float32),
+        "edgegt": (rs.rand(B, S, S, 1) > 0.95).astype(np.float32),
+        "random_mask": (rs.rand(B, S, S, 1) > 0.7).astype(np.float32),
+        "random_mask2": (rs.rand(B, S, S, 1) > 0.7).astype(np.float32),
+    }.items()}
+    step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg))
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(args.steps):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+        if i == 0 or i % 50 == 0 or i == args.steps - 1:
+            vals = {k: round(float(v), 4) for k, v in m.items()
+                    if k in ("G_total", "L1c", "L1f", "D_Fake", "D_real")}
+            print(i, vals)
+            first = first or vals
+    last = vals
+    ok = (last["L1c"] < first["L1c"] * args.ratio
+          and last["L1f"] < first["L1f"] * args.ratio)
+    print(f"{'CONVERGES' if ok else 'FAILED'}: "
+          f"L1c {first['L1c']:.3f} -> {last['L1c']:.3f}, "
+          f"L1f {first['L1f']:.3f} -> {last['L1f']:.3f}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
