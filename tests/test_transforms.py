@@ -141,4 +141,6 @@ def test_editimage_cjit_changes_image_not_edges(tmp_path):
     # photometric channels move
     np.testing.assert_array_equal(plain['edgegt'], jittered['edgegt'])
     assert np.all(jittered['mask'] <= jittered['edgegt'])
-    assert np.abs(plain['image'] - jittered['image']).max() > 0.01
+    di = (plain['image_u8'].astype(np.int16)
+          - jittered['image_u8'].astype(np.int16))
+    assert np.abs(di).max() > 2
