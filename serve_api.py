@@ -60,12 +60,21 @@ def main():
                 self.send_error(404)
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length))
-                img = Image.open(io.BytesIO(
-                    base64.b64decode(payload["image"]))).convert("RGB")
-                sk = Image.open(io.BytesIO(
-                    base64.b64decode(payload["sketch"]))).convert("L")
+                # client errors -> 400 with a reason; everything after
+                # decode is server-side -> 500
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length))
+                    img = Image.open(io.BytesIO(
+                        base64.b64decode(payload["image"]))).convert("RGB")
+                    sk = Image.open(io.BytesIO(
+                        base64.b64decode(payload["sketch"]))).convert("L")
+                except (json.JSONDecodeError, KeyError, ValueError,
+                        OSError) as e:
+                    self.send_error(
+                        400, f"bad request: {type(e).__name__}: "
+                             f"{str(e)[:160]}")
+                    return
                 w0, h0 = img.size
                 img_u8 = np.asarray(
                     img.resize((EDIT_SIZE, EDIT_SIZE)), np.uint8)

@@ -48,7 +48,11 @@ class DeepFillConfig:
     no_mask_cc: bool = False
     no_mask_coarse: bool = False
     joint_train_inp: bool = True
-    attention_impl: str = "auto"    # 'auto' | 'xla' | 'pallas'
+    # 'sharded' shards the query-patch axis over attention_mesh's 'patch'
+    # axis (parallel/sharded_attention.py) — for single-image giant
+    # resolutions where the batch axis cannot be split.
+    attention_impl: str = "auto"    # 'auto' | 'xla' | 'pallas' | 'sharded'
+    attention_mesh: object = None   # jax Mesh for attention_impl='sharded'
     # Full ReduceContextAttentionP1/P2 constructor surface. Non-released
     # settings route through the general ops.attention.splitcam_attention
     # path (the fast/Pallas path is specialized to the released config).
@@ -183,6 +187,13 @@ def _attention(x, mask, config: DeepFillConfig, precision):
     impl = config.attention_impl
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu" else "xla")
+    if impl == "sharded":
+        from sketchedit_tpu.parallel.sharded_attention import (
+            contextual_attention_sharded)
+        assert config.attention_mesh is not None, \
+            "attention_impl='sharded' needs DeepFillConfig.attention_mesh"
+        return contextual_attention_sharded(x, x, mask_s,
+                                            config.attention_mesh)
     if impl == "pallas":
         from sketchedit_tpu.ops.attention_pallas import (
             contextual_attention_pallas)

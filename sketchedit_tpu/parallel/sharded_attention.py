@@ -61,9 +61,10 @@ def contextual_attention_sharded(f, b, mask, mesh: Mesh, *,
     keep = (patch_valid_ratio(valid, k, s) > th).astype(jnp.float32)
 
     n_shards = mesh.shape[PATCH_AXIS]
-    if Pn % n_shards:
-        raise ValueError(
-            f"patch count {Pn} not divisible by mesh axis {n_shards}")
+    # pad the QUERY axis to the mesh size (padded rows attend to the real
+    # K/V bank and are sliced off before the fold — always exact)
+    pad = (-Pn) % n_shards
+    Qp = jnp.pad(Q, ((0, 0), (0, pad), (0, 0)))
 
     attend = shard_map(
         partial(_local_attend, softmax_scale=softmax_scale),
@@ -71,7 +72,7 @@ def contextual_attention_sharded(f, b, mask, mesh: Mesh, *,
         in_specs=(P(None, PATCH_AXIS, None), P(), P(), P()),
         out_specs=P(None, PATCH_AXIS, None),
     )
-    out = attend(Q, K, V, keep)
+    out = attend(Qp, K, V, keep)[:, :Pn]
     return fold_patches(out.reshape(B, nh, nw, k, k, C), (H, W), s)
 
 

@@ -59,3 +59,29 @@ def test_editline2_forward_modes():
                                np.asarray(composed), rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError):
         editline2.forward(params, data, "generator")
+
+
+def test_netg_sharded_attention_matches_xla():
+    """The full generator with attention_impl='sharded' over the 8-device
+    patch mesh equals the XLA path — at a resolution whose patch count is
+    NOT divisible by the mesh (exercises the query-axis padding)."""
+    from sketchedit_tpu.models import deepfill_c2
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+    from sketchedit_tpu.parallel.sharded_attention import patch_mesh
+
+    rs = np.random.RandomState(11)
+    B, H = 1, 64          # feature grid 16 -> P = 49, not divisible by 8
+    params = deepfill_c2.init_params(jax.random.PRNGKey(2))
+    x = jnp.asarray(rs.uniform(-1, 1, (B, H, H, 3)).astype(np.float32))
+    m = jnp.asarray((rs.rand(B, H, H, 1) > 0.7).astype(np.float32))
+
+    want = deepfill_c2.apply(
+        params, x, x, m, m,
+        config=DeepFillConfig(attention_impl="xla"))[1]
+    mesh = patch_mesh(8)
+    got = deepfill_c2.apply(
+        params, x, x, m, m,
+        config=DeepFillConfig(attention_impl="sharded",
+                              attention_mesh=mesh))[1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
