@@ -358,28 +358,47 @@ def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
                                q_tile=q_tile, kv_tile=kv_tile)
 
 
+def _s2d(x):
+    """2x2 space-to-depth: (B,H,W,C) -> (B,H/2,W/2,4C), phase-major."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // 2, W // 2, 4 * C)
+
+
 def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
                                 stride: int = 2, softmax_scale: float = 10.0,
                                 th: float = 0.1):
-    """Drop-in replacement for ops.attention.contextual_attention."""
+    """Drop-in replacement for ops.attention.contextual_attention.
+
+    Patch extraction runs on the space-to-depth grid: a 4x4/stride-2 patch
+    of the feature map is exactly a 2x2/stride-1 window of 2x2-packed
+    cells, so the unfold is 4 contiguous slices (instead of 16 strided
+    ones) and the overlap-add fold is 4 shifted adds. The patch-element
+    (D) ordering this induces is a fixed permutation of the row-major one;
+    inner products over D are permutation-invariant and Q/K/V/fold all use
+    the same ordering, so the attention output is unchanged (the XLA-path
+    parity tests pin this)."""
     B, H, W, C = b.shape
     k, s = patch_size, stride
+    if (k, s) != (4, 2) or H % 2 or W % 2:
+        raise NotImplementedError("pallas path assumes patch 4, stride 2")
     in_dtype = f.dtype
 
     bf = b.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(bf * bf, axis=(1, 2), keepdims=True) + 1e-8)
     inv_norm = (1.0 / norm).astype(in_dtype)          # (B, 1, 1, C)
 
-    vp = extract_patches(b, k, s)
+    vp = extract_patches(_s2d(b), 2, 1)
     nh, nw = vp.shape[1], vp.shape[2]
     P = nh * nw
     D = k * k * C
     V = vp.reshape(B, P, D)
     # K = patches of (b / ||b||) == V scaled per-channel: the norm is global
-    # per (batch, channel), so it factors out of the patch extraction —
-    # tile it along the k*k patch-pixel axis instead of re-extracting.
+    # per (batch, channel), so it factors out of the patch extraction; c is
+    # innermost in the packed D ordering too, so the same 16-fold tile works.
     K = V * jnp.tile(inv_norm.reshape(B, 1, C), (1, 1, k * k))
-    Q = V if f is b else extract_patches(f, k, s).reshape(B, P, D)
+    Q = V if f is b else extract_patches(_s2d(f), 2, 1).reshape(B, P, D)
 
     valid = 1.0 - mask.astype(jnp.float32)
     keep = (patch_valid_ratio(valid, k, s) > th).astype(jnp.float32)
@@ -388,4 +407,13 @@ def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
     # overlap-add in the streaming dtype (4-way sums; negligible rounding,
     # halves the fold's HBM traffic on the bf16 path)
     out = out.astype(in_dtype)
-    return fold_patches(out.reshape(B, nh, nw, k, k, C), (H, W), s)
+    folded = fold_patches(out.reshape(B, nh, nw, 2, 2, 4 * C),
+                          (H // 2, W // 2), 1)
+    return depth_to_space2x_attn(folded, C)
+
+
+def depth_to_space2x_attn(x, out_ch: int):
+    B, h, w, _ = x.shape
+    x = x.reshape(B, h, w, 2, 2, out_ch)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, 2 * h, 2 * w, out_ch)
