@@ -25,7 +25,13 @@ def main():
             parser.add_argument('--face_crop', action='store_true',
                                 help='detect-crop-edit-paste composite for '
                                      'full-body photos')
-            parser.set_defaults(dataset_mode='base')
+            # interactive path defaults to the throughput config (bf16
+            # activations, backend-default MXU passes) — ~1.6x fp32 latency
+            # on v5e, visually indistinguishable; test.py / the golden gate
+            # keep fp32/highest for checkpoint parity.
+            parser.set_defaults(dataset_mode='base',
+                                compute_dtype='bfloat16',
+                                precision='default')
             return parser
 
     opt = DemoOptions().parse()
