@@ -203,11 +203,13 @@ def _pad_qkv(Q, K, V, keep, q_tile, kv_tile):
 
 
 def _fwd_tiles(dtype, N, P):
-    # Tile defaults tuned on v5e: bf16 streams afford double-size kv tiles
-    # within the ~16MB VMEM budget (incl. double buffering).
+    # Tile defaults tuned on v5e. The kernel's HBM traffic is dominated by
+    # K/V re-reads (once per q tile), so the q tile is as large as the
+    # VMEM budget allows (incl. double buffering): bf16 streams afford
+    # (512, 256), fp32 (128, 256).
     wide = jnp.dtype(dtype).itemsize <= 2
-    q_tile = 256 if wide else 128
-    kv_tile = 512 if wide else 256
+    q_tile = 512 if wide else 128
+    kv_tile = 256 if wide else 256
     return min(q_tile, _round_up(N, 128)), min(kv_tile, _round_up(P, 128))
 
 
@@ -220,7 +222,8 @@ def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
     Q: (B, N, D); K, V: (B, P, D); keep: (B, P) in {0, 1}.
     Q/K/V stream in their input dtype (bf16 on the throughput path halves
     the DMA); the contraction and softmax state accumulate in fp32.
-    Returns (B, N, D) float32 (+ the (B, N) logsumexp when return_lse).
+    Returns (B, N, D) in Q's dtype (+ the (B, N) f32 logsumexp when
+    return_lse).
     """
     B, N, D = Q.shape
     P = K.shape[1]
@@ -246,7 +249,10 @@ def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
             pl.BlockSpec((1, q_tile, 128), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
+            # output in the streaming dtype: softmax state accumulates in
+            # f32 scratch; the write-out halves HBM traffic on bf16 (and
+            # is what every caller casts to anyway). f32 inputs keep f32.
+            jax.ShapeDtypeStruct((B, Np, Dp), Q.dtype),
             jax.ShapeDtypeStruct((B, Np, 128), jnp.float32),
         ],
         scratch_shapes=[
