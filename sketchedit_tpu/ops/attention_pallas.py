@@ -216,7 +216,8 @@ def _fwd_tiles(dtype, N, P):
 def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
                         q_tile: int | None = None,
                         kv_tile: int | None = None,
-                        return_lse: bool = False):
+                        return_lse: bool = False,
+                        out_dtype=None):
     """softmax(QK^T * keep * scale) @ V with the splitcam gating quirk.
 
     Q: (B, N, D); K, V: (B, P, D); keep: (B, P) in {0, 1}.
@@ -249,10 +250,13 @@ def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
             pl.BlockSpec((1, q_tile, 128), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            # output in the streaming dtype: softmax state accumulates in
-            # f32 scratch; the write-out halves HBM traffic on bf16 (and
-            # is what every caller casts to anyway). f32 inputs keep f32.
-            jax.ShapeDtypeStruct((B, Np, Dp), Q.dtype),
+            # inference emits the streaming dtype: softmax state still
+            # accumulates in f32 scratch; the write-out halves HBM traffic
+            # on bf16 (and is what every caller casts to anyway). The
+            # differentiated path overrides out_dtype=f32 — the backward's
+            # delta = rowsum(dO*O) residual keeps full precision so
+            # training numerics are unchanged.
+            jax.ShapeDtypeStruct((B, Np, Dp), out_dtype or Q.dtype),
             jax.ShapeDtypeStruct((B, Np, 128), jnp.float32),
         ],
         scratch_shapes=[
@@ -336,8 +340,10 @@ def _core_with_vjp(Q, K, V, keep, softmax_scale):
 def _core_fwd(Q, K, V, keep, softmax_scale):
     out, lse = _attention_core_raw(Q, K, V, keep,
                                    softmax_scale=softmax_scale,
-                                   return_lse=True)
-    return out, (Q, K, V, keep, out, lse)
+                                   return_lse=True, out_dtype=jnp.float32)
+    # primal aval must match the primal fn (Q.dtype); the f32 out is kept
+    # as the residual so delta = rowsum(dO*O) stays full-precision.
+    return out.astype(Q.dtype), (Q, K, V, keep, out, lse)
 
 
 def _core_bwd(softmax_scale, res, g):
