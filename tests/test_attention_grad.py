@@ -79,3 +79,44 @@ def test_core_gradients_match_dense_unaligned():
     for name, g, w in zip("QKV", got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_core_gradients_bf16_track_f32():
+    """The bf16 training path's gradients must track the f32 dense gradients
+    to bf16 rounding — pins the exact configuration mixed-precision training
+    runs (bf16 Q/K/V streams, f32 softmax state, f32 out residual for
+    delta = rowsum(dO*O))."""
+    from sketchedit_tpu.ops.attention_pallas import attention_core_pallas
+
+    rs = np.random.RandomState(7)
+    B, N, P, D = 2, 128, 128, 64
+    Qf = rs.randn(B, N, D).astype(np.float32)
+    Kf = rs.randn(B, P, D).astype(np.float32)
+    Vf = rs.randn(B, P, D).astype(np.float32)
+    keep = jnp.asarray((rs.rand(B, P) > 0.3).astype(np.float32))
+    cot = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+    Q, K, V = (jnp.asarray(x, dtype=jnp.bfloat16) for x in (Qf, Kf, Vf))
+
+    def loss_dense(q, k, v):
+        sim = jnp.einsum("bnd,bpd->bnp", q, k,
+                         precision=jax.lax.Precision.HIGHEST)
+        w = jax.nn.softmax(sim * keep[:, None, :] * 10.0, axis=-1)
+        out = jnp.einsum("bnp,bpd->bnd", w, v,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(attention_core_pallas(q, k, v, keep).astype(
+            jnp.float32) * cot)
+
+    # dense oracle on the SAME rounded values, in f32
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(
+        *(x.astype(jnp.float32) for x in (Q, K, V)))
+    ctx = (pltpu.force_tpu_interpret_mode() if _interpret() else _null())
+    with ctx:
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(Q, K, V)
+    for name, g, w in zip("QKV", got, want):
+        scale = np.abs(np.asarray(w)).max()
+        np.testing.assert_allclose(np.asarray(g, dtype=np.float32),
+                                   np.asarray(w), rtol=0.05,
+                                   atol=0.02 * scale, err_msg=name)
