@@ -44,6 +44,11 @@ def use_packing(batch: int) -> bool:
     backwards (~15% of step time) are still cheaper than the unpacked
     narrow-channel tail backwards.
 
+    Re-measured after gate-major packing removed the gating layout copies:
+    the crossover moved from "loses at B>=64" to break-even at b64
+    (629.5 packed vs 627.7 img/s) and still loses at b128 (996.5 vs
+    1048.1), so B < 64 remains the right gate.
+
     Env override SKETCHEDIT_PACK=0/1 forces it off/on for experiments.
     """
     force = os.environ.get("SKETCHEDIT_PACK")
