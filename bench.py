@@ -93,7 +93,8 @@ def main():
             "random_mask2": jnp.asarray(
                 (rs.rand(BATCH, SIZE, SIZE, 1) > 0.7).astype(np.float32)),
         }
-        step = jax.jit(lambda st, b, k: train_step(st, b, k, tcfg))
+        step = jax.jit(lambda st, b, k: train_step(st, b, k, tcfg),
+                       donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
         for _ in range(WARMUP):
             key, sub = jax.random.split(key)

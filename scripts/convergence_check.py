@@ -53,7 +53,8 @@ def main():
         "random_mask": (rs.rand(B, S, S, 1) > 0.7).astype(np.float32),
         "random_mask2": (rs.rand(B, S, S, 1) > 0.7).astype(np.float32),
     }.items()}
-    step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg))
+    step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg),
+                   donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
     first = None
     for i in range(args.steps):

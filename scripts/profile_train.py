@@ -39,7 +39,8 @@ def run(batch, size, mode, logdir):
             "random_mask": jnp.asarray((rs.rand(batch, size, size, 1) > 0.7).astype(np.float32)),
             "random_mask2": jnp.asarray((rs.rand(batch, size, size, 1) > 0.7).astype(np.float32)),
         }
-        step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg))
+        step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg),
+                       donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
 
         def one(i):

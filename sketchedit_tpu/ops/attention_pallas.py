@@ -202,13 +202,16 @@ def _pad_qkv(Q, K, V, keep, q_tile, kv_tile):
     return Qp, Kp, Vp, gate, Np, Pp, Dp
 
 
-def _fwd_tiles(dtype, N, P):
+def _fwd_tiles(dtype, out_dtype, N, P):
     # Tile defaults tuned on v5e. The kernel's HBM traffic is dominated by
     # K/V re-reads (once per q tile), so the q tile is as large as the
     # VMEM budget allows (incl. double buffering): bf16 streams afford
-    # (512, 256), fp32 (128, 256).
+    # (512, 256), fp32 (128, 256). The differentiated path's f32 write-out
+    # doubles the out block + accumulator footprint — 512-row tiles blow
+    # the 16M scoped-VMEM limit at D=1536 (256^2 training), so halve them.
     wide = jnp.dtype(dtype).itemsize <= 2
-    q_tile = 512 if wide else 128
+    out_wide = jnp.dtype(out_dtype).itemsize <= 2
+    q_tile = (512 if out_wide else 256) if wide else 128
     kv_tile = 256 if wide else 256
     return min(q_tile, _round_up(N, 128)), min(kv_tile, _round_up(P, 128))
 
@@ -228,7 +231,7 @@ def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
     """
     B, N, D = Q.shape
     P = K.shape[1]
-    tq, tk = _fwd_tiles(Q.dtype, N, P)
+    tq, tk = _fwd_tiles(Q.dtype, out_dtype or Q.dtype, N, P)
     q_tile = q_tile or tq
     kv_tile = kv_tile or tk
     Qp, Kp, Vp, gate, Np, Pp, Dp = _pad_qkv(Q, K, V, keep, q_tile, kv_tile)
