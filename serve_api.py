@@ -75,8 +75,10 @@ def main():
                         base64.b64decode(payload["image"]))).convert("RGB")
                     sk = Image.open(io.BytesIO(
                         base64.b64decode(payload["sketch"]))).convert("L")
-                except (json.JSONDecodeError, KeyError, ValueError,
-                        OSError) as e:
+                except (json.JSONDecodeError, KeyError, TypeError,
+                        ValueError, OSError) as e:
+                    # TypeError covers valid-JSON non-object bodies
+                    # ("abc", [1]) and non-string b64 fields
                     self.send_error(
                         400, f"bad request: {type(e).__name__}: "
                              f"{str(e)[:160]}")

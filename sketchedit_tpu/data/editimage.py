@@ -16,7 +16,7 @@ import numpy as np
 from PIL import Image
 
 from sketchedit_tpu.data.transforms import (
-    get_params, apply_transform, color_jitter, image_to_array)
+    get_params, apply_transform, color_jitter)
 from sketchedit_tpu.data.mask_creator import MaskCreator, external_mask
 from sketchedit_tpu.data.image_folder import make_dataset
 

@@ -107,8 +107,9 @@ def apply(params, image, sketch, *, precision=None, pack: bool | None = None):
       image: (B, H, W, 3) in [-1, 1].
       sketch: (B, H, W, 1) binary line drawing.
       pack: force the space-to-depth packed fronts/tails on or off
-        (None = the measured inference crossover; trainers pass False —
-        the packed segments lose in autodiff graphs, see use_packing).
+        (None = the measured B<64 crossover, which applies to training
+        graphs too — packing is a measured WIN there as well, see
+        use_packing).
     Returns:
       (soft_mask (B,H,W,1) in (0,1), mask_image (B,H,W,3) in (-1,1)).
     """

@@ -36,6 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sketchedit_tpu.ops.attention import (
     extract_patches, fold_patches, patch_valid_ratio)
+from sketchedit_tpu.ops.packed_tail import (
+    depth_to_space2x, space_to_depth2x)
 
 NEG_INF = -1e30
 
@@ -212,7 +214,7 @@ def _fwd_tiles(dtype, out_dtype, N, P):
     wide = jnp.dtype(dtype).itemsize <= 2
     out_wide = jnp.dtype(out_dtype).itemsize <= 2
     q_tile = (512 if out_wide else 256) if wide else 128
-    kv_tile = 256 if wide else 256
+    kv_tile = 256
     return min(q_tile, _round_up(N, 128)), min(kv_tile, _round_up(P, 128))
 
 
@@ -373,14 +375,6 @@ def attention_core_pallas(Q, K, V, keep, *, softmax_scale: float = 10.0,
                                q_tile=q_tile, kv_tile=kv_tile)
 
 
-def _s2d(x):
-    """2x2 space-to-depth: (B,H,W,C) -> (B,H/2,W/2,4C), phase-major."""
-    B, H, W, C = x.shape
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
-        B, H // 2, W // 2, 4 * C)
-
-
 def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
                                 stride: int = 2, softmax_scale: float = 10.0,
                                 th: float = 0.1):
@@ -404,7 +398,7 @@ def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
     norm = jnp.sqrt(jnp.sum(bf * bf, axis=(1, 2), keepdims=True) + 1e-8)
     inv_norm = (1.0 / norm).astype(in_dtype)          # (B, 1, 1, C)
 
-    vp = extract_patches(_s2d(b), 2, 1)
+    vp = extract_patches(space_to_depth2x(b), 2, 1)
     nh, nw = vp.shape[1], vp.shape[2]
     P = nh * nw
     D = k * k * C
@@ -413,7 +407,8 @@ def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
     # per (batch, channel), so it factors out of the patch extraction; c is
     # innermost in the packed D ordering too, so the same 16-fold tile works.
     K = V * jnp.tile(inv_norm.reshape(B, 1, C), (1, 1, k * k))
-    Q = V if f is b else extract_patches(_s2d(f), 2, 1).reshape(B, P, D)
+    Q = (V if f is b else
+         extract_patches(space_to_depth2x(f), 2, 1).reshape(B, P, D))
 
     valid = 1.0 - mask.astype(jnp.float32)
     keep = (patch_valid_ratio(valid, k, s) > th).astype(jnp.float32)
@@ -424,11 +419,5 @@ def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
     out = out.astype(in_dtype)
     folded = fold_patches(out.reshape(B, nh, nw, 2, 2, 4 * C),
                           (H // 2, W // 2), 1)
-    return depth_to_space2x_attn(folded, C)
+    return depth_to_space2x(folded, C)
 
-
-def depth_to_space2x_attn(x, out_ch: int):
-    B, h, w, _ = x.shape
-    x = x.reshape(B, h, w, 2, 2, out_ch)
-    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
-        B, 2 * h, 2 * w, out_ch)

@@ -125,3 +125,17 @@ class BatchingExecutor:
     def shutdown(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail anything still queued or parked in _pending so no client
+        # blocks on a future that will never resolve
+        leftovers = []
+        if self._pending is not None:
+            leftovers.append(self._pending)
+            self._pending = None
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        for _, _, fut in leftovers:
+            if not fut.done():
+                fut.set_exception(RuntimeError("executor shut down"))

@@ -120,3 +120,25 @@ def test_executor_separates_mixed_sizes():
         assert c2.shape == (8, 8, 3)
     finally:
         ex.shutdown()
+
+
+def test_shutdown_fails_parked_and_queued_requests():
+    """shutdown() must resolve every future it will never serve: one parked
+    in _pending (size-mismatch carry) and one still in the queue."""
+    from concurrent.futures import Future
+
+    pipe = RecordingPipeline()
+    ex = BatchingExecutor(pipe, max_batch=8, max_wait_ms=10)
+    ex.shutdown()                      # stop the dispatcher first so the
+    parked, queued = Future(), Future()  # injected items stay unserved
+    img = np.zeros((4, 4, 3), np.float32)
+    sk = np.zeros((4, 4, 1), np.float32)
+    ex._pending = (img, sk, parked)
+    ex._q.put((img, sk, queued))
+    ex.shutdown()
+    for fut in (parked, queued):
+        try:
+            fut.result(timeout=1)
+            raise AssertionError("future should have failed")
+        except RuntimeError as e:
+            assert "shut down" in str(e)

@@ -1,0 +1,113 @@
+"""End-to-end serving-API test: one live server, valid edit + the
+client-error -> 400 contract (incl. valid-JSON non-object bodies)."""
+
+import base64
+import io
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
+       "SKETCHEDIT_CACHE_DIR": os.path.join(REPO, ".jax_cache")}
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _b64_png(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(port, body, as_json=True):
+    data = (json.dumps(body) if as_json else body).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/edit", data=data,
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=180) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, None
+
+
+@pytest.fixture(scope="module")
+def api_server(tmp_path_factory):
+    port = _free_port()
+    ck = tmp_path_factory.mktemp("ck")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve_api.py"),
+         "--name", "x", "--checkpoints_dir", str(ck), "--joint_train_inp",
+         "--use_cam", "--pool_type", "max", "--dataset_mode", "base",
+         "--port", str(port), "--max_batch", "2",
+         "--compute_dtype", "float32"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=ENV, cwd=REPO)
+    try:
+        deadline = time.time() + 420
+        for line in proc.stdout:
+            if "warmup done" in line:
+                break
+            if time.time() > deadline or proc.poll() is not None:
+                pytest.fail(f"server failed to warm up: {line!r}")
+        yield port
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_edit_roundtrip(api_server):
+    rs = np.random.RandomState(0)
+    img = (rs.rand(64, 64, 3) * 255).astype(np.uint8)
+    sk = ((rs.rand(64, 64) > 0.97) * 255).astype(np.uint8)
+    status, out = _post(api_server, {"image": _b64_png(img),
+                                     "sketch": _b64_png(sk)})
+    assert status == 200
+    comp = Image.open(io.BytesIO(base64.b64decode(out["image"])))
+    mask = Image.open(io.BytesIO(base64.b64decode(out["mask"])))
+    assert comp.size == (64, 64)            # resized back to the input size
+    assert mask.size == (64, 64)
+
+
+def test_client_errors_are_400(api_server):
+    cases = [
+        ("not json at all", False),          # JSONDecodeError
+        ('"abc"', False),                    # valid JSON, non-object
+        ("[1, 2]", False),                   # valid JSON, list
+        ({"image": 5, "sketch": 6}, True),   # non-string b64 fields
+        ({"sketch": "eA=="}, True),          # missing key
+        ({"image": "bm90cG5n", "sketch": "bm90cG5n"}, True),  # not an image
+    ]
+    for body, as_json in cases:
+        status, _ = _post(api_server, body, as_json=as_json)
+        assert status == 400, f"{body!r} -> {status}"
+
+
+def test_wrong_path_is_404(api_server):
+    status, _ = _post_path(api_server, "/nope")
+    assert status == 404
+
+
+def _post_path(port, path):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=b"{}",
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, None
+    except urllib.error.HTTPError as e:
+        return e.code, None

@@ -63,3 +63,49 @@ def test_trainpy_cli_smoke(tmp_path):
     assert "train_state_latest" in files
     assert "iter.txt" in files
     assert "End of epoch 1" in res.stdout
+
+
+def test_trainpy_sigterm_checkpoints_before_exit(tmp_path):
+    """Preemption safety with a donated train state: SIGTERM mid-training
+    must checkpoint at the next loop boundary (the handler only sets a
+    flag — saving inside the handler would read donated/deleted buffers)
+    and exit 128+15."""
+    import signal
+    import time
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            imgs / f"{i}.png")
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu",
+               SKETCHEDIT_CACHE_DIR=os.path.join(REPO, ".jax_cache"))
+    cmd = [sys.executable, os.path.join(REPO, "train.py"),
+           "--name", "sigtest", "--checkpoints_dir", str(tmp_path / "ck"),
+           "--dataset_mode", "editimage", "--train_image_dir", str(imgs),
+           "--batchSize", "2", "--niter", "500", "--use_cam",
+           "--pool_type", "max", "--joint_train_inp", "--not_om",
+           "--preprocess_mode", "resize_and_crop", "--load_size", "64",
+           "--crop_size", "64", "--no_flip",
+           "--save_epoch_freq", "1000", "--print_freq", "2"]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env,
+                            cwd=REPO)
+    # wait for the first training iteration line, then preempt
+    deadline = time.time() + 600
+    for line in proc.stdout:
+        if "iter" in line and "ms/img" in line:
+            break
+        assert time.time() < deadline and proc.poll() is None, line
+    proc.send_signal(signal.SIGTERM)
+    out = proc.stdout.read()
+    rc = proc.wait(timeout=120)
+    assert rc == 128 + 15, (rc, out[-2000:])
+    assert "checkpointed on signal 15" in out
+    ckdir = tmp_path / "ck" / "sigtest"
+    files = os.listdir(ckdir)
+    for f in ("latest_net_M.npz", "latest_net_G.npz", "iter.txt"):
+        assert f in files, files

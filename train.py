@@ -102,18 +102,33 @@ def main():
     key = jax.random.PRNGKey(opt.niter)
 
     # failure handling: on SIGTERM/SIGINT, save a resume-exact checkpoint
-    # before exiting (preemption-safe training)
+    # before exiting (preemption-safe training). The handler only sets a
+    # flag; the save runs at the next loop boundary, where `state` is
+    # guaranteed to be a live (post-rebind) value — saving inside the
+    # handler would race with donate_argnums, which deletes the old state
+    # buffers while the step is in flight.
     import signal
 
-    def _save_and_exit(signum, _frame):
-        print(f"signal {signum}: checkpointing before exit")
+    stop_signum = None
+
+    def _request_stop(signum, _frame):
+        nonlocal stop_signum
+        if stop_signum is not None:       # second signal: exit now
+            raise SystemExit(128 + signum)
+        stop_signum = signum
+        print(f"signal {signum}: will checkpoint and exit after this step")
+
+    def _maybe_stop():
+        if stop_signum is None:
+            return
         ckpt.save_pipeline(state["params"], "latest", opt)
         ckpt.save_train_state(jax.device_get(state), opt)
         iter_counter.record_current_iter()
-        raise SystemExit(128 + signum)
+        print(f"checkpointed on signal {stop_signum}; exiting")
+        raise SystemExit(128 + stop_signum)
 
-    signal.signal(signal.SIGTERM, _save_and_exit)
-    signal.signal(signal.SIGINT, _save_and_exit)
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
 
     for epoch in iter_counter.training_epochs():
         iter_counter.record_epoch_start(epoch)
@@ -127,6 +142,7 @@ def main():
                     shard_batch(mesh, *device_batch.values())))
             state, metrics = step_fn(state, device_batch, sub)
             iter_counter.record_one_iteration()
+            _maybe_stop()
             if iter_counter.needs_printing():
                 vals = {k: round(float(v), 4) for k, v in metrics.items()}
                 print(f"epoch {epoch} iter {iter_counter.epoch_iter} "
