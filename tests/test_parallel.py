@@ -85,3 +85,56 @@ def test_netg_sharded_attention_matches_xla():
                               attention_mesh=mesh))[1]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dp_train_step_matches_single_device():
+    """SPMD correctness: the data-parallel train step (batch sharded over
+    the mesh, params replicated, gradients psum-reduced by XLA) must equal
+    the single-device step on the same global batch to fp tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sketchedit_tpu.parallel.mesh import data_parallel_mesh, BATCH_AXIS
+    from sketchedit_tpu.train.trainer import (
+        TrainConfig, init_train_state, train_step)
+
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+
+    cfg = TrainConfig(compute_dtype="float32")
+    B, H = n, 32
+    rs = np.random.RandomState(0)
+    batch_np = {
+        "image": rs.uniform(-1, 1, (B, H, H, 3)).astype(np.float32),
+        "gt": rs.uniform(-1, 1, (B, H, H, 3)).astype(np.float32),
+        "mask": (rs.rand(B, H, H, 1) > 0.95).astype(np.float32),
+        "edgegt": (rs.rand(B, H, H, 1) > 0.95).astype(np.float32),
+        "random_mask": (rs.rand(B, H, H, 1) > 0.7).astype(np.float32),
+        "random_mask2": (rs.rand(B, H, H, 1) > 0.7).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg))
+
+    # single-device reference
+    state0 = init_train_state(jax.random.PRNGKey(0), cfg)
+    ref_state, ref_metrics = step(
+        state0, {k: jnp.asarray(v) for k, v in batch_np.items()}, key)
+
+    # data-parallel: same params replicated, same global batch sharded
+    mesh = data_parallel_mesh(n)
+    state1 = jax.device_put(init_train_state(jax.random.PRNGKey(0), cfg),
+                            NamedSharding(mesh, P()))
+    sharded = {k: jax.device_put(jnp.asarray(v),
+                                 NamedSharding(mesh, P(BATCH_AXIS)))
+               for k, v in batch_np.items()}
+    with mesh:
+        dp_state, dp_metrics = step(state1, sharded, key)
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(dp_metrics[k]),
+                                   float(ref_metrics[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for name in ("M", "G"):
+        ref_w = np.asarray(ref_state["params"][name]["conv1"]["w"])
+        dp_w = np.asarray(dp_state["params"][name]["conv1"]["w"])
+        np.testing.assert_allclose(dp_w, ref_w, rtol=1e-4, atol=1e-5,
+                                   err_msg=name)
