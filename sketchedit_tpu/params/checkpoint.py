@@ -93,24 +93,39 @@ def save_train_state(state, opt, step_name="latest"):
     ckptr.save(path, jax.device_get(state), force=True)
 
 
+def _restructure(abstract, restored):
+    """Rebuild `abstract`'s container types around Orbax's raw restore.
+
+    A bare PyTreeCheckpointer.restore() returns dicts/lists only:
+    NamedTuples (optax ScaleByAdamState, ...) come back as dicts keyed by
+    field name, tuples as lists, and field-less NamedTuples (EmptyState)
+    as None. Feeding that state to optimizer.update crashes
+    ('dict' object has no attribute 'mu') — pinned by
+    tests/test_train_cli.py's preempt-resume test."""
+    if hasattr(abstract, "_fields"):              # NamedTuple
+        return type(abstract)(**{
+            f: _restructure(getattr(abstract, f), restored[f])
+            for f in abstract._fields})
+    if isinstance(abstract, dict):
+        return {k: _restructure(v, restored[k])
+                for k, v in abstract.items()}
+    if isinstance(abstract, (list, tuple)):
+        return type(abstract)(
+            _restructure(a, r) for a, r in zip(abstract, restored))
+    return jnp.asarray(restored, dtype=abstract.dtype)
+
+
 def load_train_state(opt, abstract_state, step_name="latest"):
     """Restore a full training state; returns None when absent.
     `abstract_state` is a freshly-initialized state providing the tree
-    structure/dtypes."""
+    structure/dtypes (restored leaves are cast to its dtypes)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(
         opt.checkpoints_dir, opt.name, f"train_state_{step_name}"))
     if not os.path.isdir(path):
         return None
-    ckptr = ocp.PyTreeCheckpointer()
-    restore_args = jax.tree_util.tree_map(
-        lambda x: ocp.ArrayRestoreArgs(dtype=getattr(x, "dtype", None)),
-        abstract_state)
-    try:
-        return ckptr.restore(path, item=abstract_state,
-                             restore_args=restore_args)
-    except Exception:
-        return ckptr.restore(path)
+    restored = ocp.PyTreeCheckpointer().restore(path)
+    return _restructure(abstract_state, restored)
 
 
 def save_pipeline(params, epoch, opt):

@@ -28,6 +28,10 @@ def test_train_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state["params"]["G"]["conv1"]["w"]),
         np.asarray(restored["params"]["G"]["conv1"]["w"]))
+    # structure-exact: optax NamedTuples must survive the roundtrip
+    # (a dict-shaped optimizer state crashes the first resumed step)
+    assert (jax.tree_util.tree_structure(restored)
+            == jax.tree_util.tree_structure(state))
     assert ckpt.load_train_state(
         argparse.Namespace(checkpoints_dir=str(tmp_path), name="missing"),
         fresh) is None
@@ -109,3 +113,16 @@ def test_trainpy_sigterm_checkpoints_before_exit(tmp_path):
     files = os.listdir(ckdir)
     for f in ("latest_net_M.npz", "latest_net_G.npz", "iter.txt"):
         assert f in files, files
+
+    # full preemption loop: resume from the signal checkpoint
+    # (params + optimizer moments + step restored via Orbax)
+    resume_cmd = [c for c in cmd]
+    resume_cmd[resume_cmd.index("--niter") + 1] = "1"
+    resume_cmd.append("--continue_train")
+    res = subprocess.run(resume_cmd, capture_output=True, text=True,
+                         timeout=600, env=env, cwd=REPO)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    assert "resumed full train state at step" in res.stdout
+    step = int(res.stdout.split("resumed full train state at step")[1]
+               .split()[0])
+    assert step > 0
