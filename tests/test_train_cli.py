@@ -126,3 +126,39 @@ def test_trainpy_sigterm_checkpoints_before_exit(tmp_path):
     step = int(res.stdout.split("resumed full train state at step")[1]
                .split()[0])
     assert step > 0
+
+
+def test_trainpy_data_parallel_two_virtual_devices(tmp_path):
+    """train.py's DP seam (mesh + shard_batch + replicated donated state)
+    end-to-end on 2 virtual CPU devices; losses must match the
+    single-device trajectory (the batch is the global batch either way)."""
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            imgs / f"{i}.png")
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu",
+               SKETCHEDIT_CACHE_DIR=os.path.join(REPO, ".jax_cache"),
+               XLA_FLAGS=(env.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=2")
+               .strip())
+    cmd = [sys.executable, os.path.join(REPO, "train.py"),
+           "--name", "dptest", "--checkpoints_dir", str(tmp_path / "ck"),
+           "--dataset_mode", "editimage", "--train_image_dir", str(imgs),
+           "--batchSize", "2", "--niter", "1", "--use_cam",
+           "--pool_type", "max", "--joint_train_inp", "--not_om",
+           "--preprocess_mode", "resize_and_crop", "--load_size", "64",
+           "--crop_size", "64", "--no_flip",
+           "--save_epoch_freq", "1", "--print_freq", "2"]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+                         env=env, cwd=REPO)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
+    assert "data-parallel over 2 devices" in res.stdout
+    # deterministic loader + PRNG: the DP run reproduces the recorded
+    # single-device losses on this fixture (see test_parallel for the
+    # step-level equivalence proof)
+    assert "'L1c': 1.2443" in res.stdout, res.stdout[-1500:]
+    assert "latest_net_G.npz" in os.listdir(tmp_path / "ck" / "dptest")
