@@ -67,9 +67,10 @@ class TestImageDataset:
     def __getitem__(self, index):
         image = Image.open(self.image_paths[index]).convert('RGB')
         sketch = Image.open(self.mask_paths[index])
+        arr = image_to_array(image)                            # HWC [-1,1]
         return {
-            'image': image_to_array(image),                    # HWC [-1,1]
-            'gt': image_to_array(image),
+            'image': arr,
+            'gt': arr,        # same array; nothing downstream mutates it
             'mask': binarize_sketch(sketch, image.size),       # HW1 {0,1}
             'path': self.output_paths[index],
         }

@@ -41,8 +41,10 @@ def get_params(opt, size, rng: np.random.Generator | None = None):
         new_w, new_h = (ss, ls) if w == ss else (ls, ss)
 
     rng = rng or np.random.default_rng()
-    x = int(rng.integers(0, max(1, new_w - opt.crop_size)))
-    y = int(rng.integers(0, max(1, new_h - opt.crop_size)))
+    # reference base_dataset.py:37-38 random.randint is INCLUSIVE of the
+    # upper bound — the right/bottom-most crop position must be reachable
+    x = int(rng.integers(0, max(0, new_w - opt.crop_size) + 1))
+    y = int(rng.integers(0, max(0, new_h - opt.crop_size) + 1))
     flip = bool(rng.random() > 0.5)
 
     # --cjit (base_dataset.py:69-70: ColorJitter(c, c, c, c) at train

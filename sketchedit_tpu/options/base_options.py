@@ -135,12 +135,13 @@ class BaseOptions:
         base = self._option_path(opt)
         with open(base + '.json') as f:
             saved = json.load(f)
+        known = {a.dest for a in parser._actions}
         for k, v in saved.items():
-            if parser.get_default(k) is not None or k in saved:
-                try:
-                    parser.set_defaults(**{k: v})
-                except Exception:
-                    pass
+            # only override registered flags: the snapshot may carry
+            # namespace-only keys (isTrain, keys from another options
+            # class) which set_defaults would silently inject
+            if k in known:
+                parser.set_defaults(**{k: v})
         return parser
 
     def print_options(self, opt):

@@ -134,8 +134,9 @@ class DemoApp:
         img = img.convert("RGB")
         w_raw, h_raw = img.size
         scale = min(1.0, MAX_SIZE / max(w_raw, h_raw))
-        w_t = int(w_raw * scale) // 8 * 8
-        h_t = int(h_raw * scale) // 8 * 8
+        # floor at 8: extreme aspect ratios must not round a side to 0
+        w_t = max(8, int(w_raw * scale) // 8 * 8)
+        h_t = max(8, int(h_raw * scale) // 8 * 8)
 
         img_r = img.resize((w_t, h_t))
         sk_r = sketch.convert("L").resize((w_t, h_t))
@@ -144,7 +145,9 @@ class DemoApp:
             from sketchedit_tpu.server.composite import face_crop_edit
             image = (np.asarray(img_r, np.float32) / 255.0 - 0.5) / 0.5
             line = (np.asarray(sk_r, np.float32) > 0).astype(np.float32)
-            result = face_crop_edit(self.pipeline, image, line[:, :, None])
+            with self.lock:     # serialize device access like the u8 path
+                result = face_crop_edit(self.pipeline, image,
+                                        line[:, :, None])
             result = np.clip(result.astype(np.float32), -1, 1)
             result_u8 = ((result + 1) / 2 * 255).astype(np.uint8)
         else:
@@ -168,7 +171,7 @@ class DemoApp:
     def handle_post(self, form: dict) -> str:
         idx = int(form.get("im_idx", ["0"])[0])
         if "changeim" in form:
-            idx = (idx + 1) % len(self.examples)
+            idx = (idx + 1) % max(1, len(self.examples))
             return f"/?idx={idx}"
         if "mask" in form:
             filename = form["imgname"][0]
@@ -200,7 +203,7 @@ class DemoApp:
         name = self.examples[idx] if self.examples else ""
         path = os.path.join(self.static_root, "images", name)
         w = h = 256
-        if os.path.exists(path):
+        if os.path.isfile(path):     # empty list -> name "" is the dir
             with Image.open(path) as im:
                 w, h = im.size
         return _PAGE.format(image_name=name, idx=idx, w=w, h=h,
@@ -246,11 +249,22 @@ def make_handler(app: DemoApp):
             self._send(app.render(idx))
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length).decode()
-            form = urllib.parse.parse_qs(body)
-            redirect = app.handle_post(form)
-            self._send(redirect, ctype="text/plain")
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length).decode()
+                form = urllib.parse.parse_qs(body)
+                try:
+                    redirect = app.handle_post(form)
+                except (KeyError, IndexError, ValueError, OSError) as e:
+                    # malformed form / bad base64 / unopenable image —
+                    # client error, answer 400 instead of dropping the
+                    # connection (serve_api.py has the same contract)
+                    self.send_error(
+                        400, f"bad request: {type(e).__name__}")
+                    return
+                self._send(redirect, ctype="text/plain")
+            except Exception:
+                self.send_error(500)
 
     return Handler
 

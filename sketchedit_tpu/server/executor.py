@@ -69,6 +69,8 @@ class BatchingExecutor:
         """image: (H, W, 3); sketch: (H, W, 1). All requests in flight must
         share one spatial size (the demo's /8 bucketing upstream ensures
         this); mixed sizes are dispatched in separate batches."""
+        if self._stop.is_set():
+            raise RuntimeError("executor shut down")
         fut: Future = Future()
         self._q.put((image, sketch, fut), timeout=30.0)
         return fut
@@ -107,20 +109,30 @@ class BatchingExecutor:
             items = self._collect()
             if not items:
                 continue
-            n = len(items)
-            b = _bucket(n, self.max_batch)
-            images = np.stack([it[0] for it in items]
-                              + [items[-1][0]] * (b - n))
-            sketches = np.stack([it[1] for it in items]
-                                + [items[-1][1]] * (b - n))
             try:
+                # batch assembly is inside the try: one malformed request
+                # (e.g. a sketch missing its channel axis, which _collect's
+                # image-shape check can't see) must fail only its own batch,
+                # never kill the dispatcher thread
+                n = len(items)
+                b = _bucket(n, self.max_batch)
+                images = np.stack([it[0] for it in items]
+                                  + [items[-1][0]] * (b - n))
+                sketches = np.stack([it[1] for it in items]
+                                    + [items[-1][1]] * (b - n))
                 composed, mask = self.pipeline(images, sketches)
                 for i, (_, _, fut) in enumerate(items):
-                    fut.set_result((composed[i], mask[i]))
-            except Exception as e:                # pragma: no cover
+                    # returns False iff the caller cancelled; afterwards the
+                    # future is RUNNING and set_result cannot race cancel()
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_result((composed[i], mask[i]))
+            except Exception as e:
                 for _, _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    try:
+                        if not fut.done():
+                            fut.set_exception(e)
+                    except Exception:   # racing cancel(); never kill _loop
+                        pass
 
     def shutdown(self):
         self._stop.set()

@@ -89,3 +89,14 @@ def test_canvas_page_and_edit_roundtrip(demo_server):
             timeout=30) as r:
         out = Image.open(io.BytesIO(r.read()))
     assert out.size == (64, 64)
+
+
+def test_malformed_post_is_400(demo_server):
+    port = demo_server
+    form = urllib.parse.urlencode({"mask": "@@@notbase64"}).encode()
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/", data=form)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            raise AssertionError(f"expected 400, got {r.status}")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

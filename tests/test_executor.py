@@ -142,3 +142,64 @@ def test_shutdown_fails_parked_and_queued_requests():
             raise AssertionError("future should have failed")
         except RuntimeError as e:
             assert "shut down" in str(e)
+
+
+def test_malformed_request_fails_only_its_batch():
+    """Two requests with matching image shapes but unstackable sketch
+    shapes (the mismatch _collect's image-only check can't see) must error
+    their own futures, not kill the dispatcher: later well-formed requests
+    still succeed."""
+    pipe = RecordingPipeline()
+    ex = BatchingExecutor(pipe, max_batch=8, max_wait_ms=100)
+    try:
+        img = np.zeros((4, 4, 3), np.float32)
+        f1 = ex.submit(img, np.zeros((4, 4, 1), np.float32))
+        f2 = ex.submit(img, np.zeros((5, 5, 1), np.float32))
+        failed = 0
+        for f in (f1, f2):
+            try:
+                f.result(timeout=10)
+            except ValueError:
+                failed += 1
+        assert failed >= 1                 # the batch that mixed them died
+        good = ex.submit(img, np.zeros((4, 4, 1), np.float32))
+        comp, _ = good.result(timeout=10)
+        np.testing.assert_array_equal(comp, img * 2)
+    finally:
+        ex.shutdown()
+
+
+def test_cancelled_future_does_not_poison_batch():
+    """cancel() on one request must not discard its batchmates' results."""
+    import threading as _t
+
+    release = _t.Event()
+
+    class GatedPipeline(RecordingPipeline):
+        def __call__(self, images, sketches):
+            release.wait(timeout=10)
+            return super().__call__(images, sketches)
+
+    ex = BatchingExecutor(GatedPipeline(), max_batch=8, max_wait_ms=10)
+    try:
+        imgs = [np.full((4, 4, 3), i, np.float32) for i in range(3)]
+        sk = np.zeros((4, 4, 1), np.float32)
+        futs = [ex.submit(i, sk) for i in imgs]
+        futs[1].cancel()                  # give up while batch is gated
+        release.set()
+        for i in (0, 2):
+            comp, _ = futs[i].result(timeout=10)
+            np.testing.assert_array_equal(comp, imgs[i] * 2)
+    finally:
+        ex.shutdown()
+
+
+def test_submit_after_shutdown_raises():
+    ex = BatchingExecutor(RecordingPipeline(), max_batch=8, max_wait_ms=10)
+    ex.shutdown()
+    img = np.zeros((4, 4, 3), np.float32)
+    try:
+        ex.submit(img, np.zeros((4, 4, 1), np.float32))
+        raise AssertionError("submit after shutdown should raise")
+    except RuntimeError:
+        pass

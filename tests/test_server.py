@@ -130,3 +130,21 @@ def test_localize_prefers_external_detector():
     det = lambda im: [(8, 8, 16, 16), (40, 40, 10, 10)]
     box = localize_edit_region(img, sketch, det)
     assert box == (8, 8, 16, 16)
+
+
+def test_change_example_with_empty_list(tmp_path):
+    """Fresh deployment with no examples: 'Next example' must not crash."""
+    from sketchedit_tpu.server.demo_server import DemoApp
+    app = DemoApp(FakePipeline(), static_root=str(tmp_path / "s"))
+    assert app.examples == []
+    assert app.handle_post({"changeim": ["1"], "im_idx": ["0"]}) == "/?idx=0"
+    assert "canvas" in app.render(0).lower()
+
+
+def test_process_image_extreme_aspect_ratio(app):
+    """A panorama strip must not round a side to zero."""
+    img = Image.new("RGB", (2000, 12))
+    sketch = Image.new("L", (2000, 12))
+    name = app.process_image(img, sketch, "strip.png")
+    out = Image.open(os.path.join(app.static_root, "results", name))
+    assert out.size == (2000, 12)
