@@ -193,7 +193,8 @@ def _attention(x, mask, config: DeepFillConfig, precision):
         assert config.attention_mesh is not None, \
             "attention_impl='sharded' needs DeepFillConfig.attention_mesh"
         return contextual_attention_sharded(x, x, mask_s,
-                                            config.attention_mesh)
+                                            config.attention_mesh,
+                                            precision=precision)
     if impl == "pallas":
         from sketchedit_tpu.ops.attention_pallas import (
             contextual_attention_pallas)

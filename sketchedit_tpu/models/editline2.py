@@ -80,13 +80,22 @@ def edit(params, image, sketch, *, config: EditLine2Config = EditLine2Config()):
     """The public edit function: (image, sketch) -> (composed, soft_mask).
 
     image: (B, H, W, 3) in [-1, 1]; sketch: (B, H, W, 1) in {0, 1}.
-    H and W must be multiples of 4 (two stride-2 downsamples).
+    H and W must be multiples of 4 (two stride-2 downsamples) — of 8 when
+    the Pallas attention path is active (its space-to-depth patch grid
+    needs an even H/4 feature map). The demo/serving paths round to /8.
     """
     B, H, W = image.shape[:3]
-    if H % 4 or W % 4:
+    impl = config.netg.attention_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    need = 8 if (impl == "pallas" and config.netg.attention.is_released) \
+        else 4
+    if H % need or W % need:
         raise ValueError(
-            f"input size {H}x{W} must be a multiple of 4 (two stride-2 "
-            "stages + x2 decoders); the demo path rounds to /8")
+            f"input size {H}x{W} must be a multiple of {need} "
+            f"(two stride-2 stages + x2 decoders"
+            + (" + pallas s2d patch grid" if need == 8 else "")
+            + "); the demo path rounds to /8")
     out = generate(params, image, sketch, config=config)
     soft = out["mask"]
     composed = out["fake"] * soft + image.astype(soft.dtype) * (1.0 - soft)
@@ -115,9 +124,11 @@ def edit_u8(params, image_u8, sketch_u8, *,
 
 def make_edit_fn(params, *, config: EditLine2Config = EditLine2Config(),
                  donate: bool = False):
-    """jit-compiled closure over params; one compile per input shape."""
-    fn = partial(edit, config=config)
-    return jax.jit(fn, donate_argnums=(1,) if donate else ())
+    """edit() jit-closed over params: fn(image, sketch) -> (composed,
+    soft_mask). One compile per input shape; donate=True donates the
+    image buffer (serving can reuse it in place)."""
+    return jax.jit(partial(edit, params, config=config),
+                   donate_argnums=(0,) if donate else ())
 
 
 def forward(params, data: dict, mode: str, *,

@@ -90,6 +90,7 @@ def contextual_attention(f, b, mask, *, patch_size: int = 4, stride: int = 2,
     """
     B, H, W, C = b.shape
     k, s = patch_size, stride
+    in_dtype = f.dtype            # compute in f32, emit the input dtype
     f = f.astype(jnp.float32)
     b = b.astype(jnp.float32)
 
@@ -114,6 +115,9 @@ def contextual_attention(f, b, mask, *, patch_size: int = 4, stride: int = 2,
 
     outp = jnp.einsum("bnp,bpd->bnd", w, V, precision=precision)
     out = fold_patches(outp.reshape(B, nh, nw, k, k, C), (H, W), s)
+    # match the pallas path: bf16 callers get bf16 back — otherwise the
+    # whole stage-2 tail silently promotes to f32 under mixed precision
+    out = out.astype(in_dtype)
     if return_weights:
         return out, w
     return out
@@ -196,6 +200,7 @@ def splitcam_attention(f, b, mask, config: SplitCAMConfig = SplitCAMConfig(),
     cfg = config
     B, H, W, C = b.shape
     k, sq, sk, pd = cfg.bkg_patch_size, cfg.stride, cfg.ufstride, cfg.pd
+    in_dtype = f.dtype
     f = f.astype(jnp.float32)
     b = b.astype(jnp.float32)
     valid = 1.0 - mask.astype(jnp.float32)
@@ -264,7 +269,7 @@ def splitcam_attention(f, b, mask, config: SplitCAMConfig = SplitCAMConfig(),
     if pd > 0:
         out = out[:, pd:-pd, pd:-pd]
 
-    results = [out]
+    results = [out.astype(in_dtype)]
     if return_weights:
         results.append(w)
     if return_recon:

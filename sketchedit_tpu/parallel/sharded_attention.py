@@ -29,22 +29,23 @@ from sketchedit_tpu.ops.attention import (
 PATCH_AXIS = "patch"
 
 
-def _local_attend(Q_local, K, V, keep, softmax_scale):
-    sim = jnp.einsum("bnd,bpd->bnp", Q_local, K)
+def _local_attend(Q_local, K, V, keep, softmax_scale, precision):
+    sim = jnp.einsum("bnd,bpd->bnp", Q_local, K, precision=precision)
     logits = sim * keep[:, None, :] * softmax_scale
     w = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bnp,bpd->bnd", w, V)
+    return jnp.einsum("bnp,bpd->bnd", w, V, precision=precision)
 
 
 def contextual_attention_sharded(f, b, mask, mesh: Mesh, *,
                                  patch_size: int = 4, stride: int = 2,
                                  softmax_scale: float = 10.0,
-                                 th: float = 0.1):
+                                 th: float = 0.1, precision=None):
     """Same semantics as ops.attention.contextual_attention, query-patch
     axis sharded over `mesh`'s '{PATCH_AXIS}' axis. P must divide evenly
     by the axis size (pad the image so the patch grid does)."""
     B, H, W, C = b.shape
     k, s = patch_size, stride
+    in_dtype = f.dtype
     bf = b.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(bf * bf, axis=(1, 2), keepdims=True) + 1e-8)
 
@@ -67,13 +68,15 @@ def contextual_attention_sharded(f, b, mask, mesh: Mesh, *,
     Qp = jnp.pad(Q, ((0, 0), (0, pad), (0, 0)))
 
     attend = shard_map(
-        partial(_local_attend, softmax_scale=softmax_scale),
+        partial(_local_attend, softmax_scale=softmax_scale,
+                precision=precision),
         mesh=mesh,
         in_specs=(P(None, PATCH_AXIS, None), P(), P(), P()),
         out_specs=P(None, PATCH_AXIS, None),
     )
     out = attend(Qp, K, V, keep)[:, :Pn]
-    return fold_patches(out.reshape(B, nh, nw, k, k, C), (H, W), s)
+    folded = fold_patches(out.reshape(B, nh, nw, k, k, C), (H, W), s)
+    return folded.astype(in_dtype)
 
 
 def patch_mesh(n_devices: int | None = None) -> Mesh:

@@ -77,6 +77,13 @@ def load_vgg_params(path: str | None = None):
             params.append({"w": jnp.asarray(data[f"conv_{i}_w"]),
                            "b": jnp.asarray(data[f"conv_{i}_b"])})
             i += 1
+    n_convs = sum(1 for c in _VGG_CFG if c != "M")
+    if len(params) != n_convs:
+        # fail loudly at startup: a short/malformed file would otherwise
+        # pass the trainer's `is not None` gate and crash mid-step
+        raise ValueError(
+            f"{path} has {len(params)} conv_i_w/b pairs; VGG19 needs "
+            f"{n_convs} (see scripts/convert_vgg19.py)")
     return params
 
 

@@ -59,6 +59,14 @@ class IterationCounter:
                       f"{self.iter_record_path}. Starting from beginning.")
         self._global_step = ((self.first_epoch - 1) * self._steps_per_epoch
                              + self._epoch_steps)
+        # reference resume semantics (util/iter_counter.py:16-23): the
+        # image total restarts at (first_epoch-1) * dataset_size + images,
+        # NOT steps*batch — they differ when dataset_size % batchSize != 0,
+        # and the image-denominated periodic triggers must keep the
+        # reference's phase across a resume
+        self._init_step = self._global_step
+        self._images_base = ((self.first_epoch - 1) * self.dataset_size
+                             + self._epoch_steps * self.batch_size)
         self._t_last = self._t_epoch = time.monotonic()
 
     # -- derived views -----------------------------------------------------
@@ -76,7 +84,8 @@ class IterationCounter:
     def total_steps_so_far(self) -> int:
         """Images consumed overall — kept image-denominated because every
         `--*_freq` flag and the reference's own counter speak images."""
-        return self._global_step * self.batch_size
+        return (self._images_base
+                + (self._global_step - self._init_step) * self.batch_size)
 
     # -- persistence (reference iter.txt format: "epoch,images") -----------
 

@@ -11,8 +11,27 @@ def _uint8_bits(n, i):
     return (n >> i) & 1
 
 
+# the standard Cityscapes class palette (reference util.py:239-245 returns
+# this fixed table for N==35, which is Colorize's default)
+_CITYSCAPES_35 = np.array(
+    [(0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0),
+     (111, 74, 0), (81, 0, 81), (128, 64, 128), (244, 35, 232),
+     (250, 170, 160), (230, 150, 140), (70, 70, 70), (102, 102, 156),
+     (190, 153, 153), (180, 165, 180), (150, 100, 100), (150, 120, 90),
+     (153, 153, 153), (153, 153, 153), (250, 170, 30), (220, 220, 0),
+     (107, 142, 35), (152, 251, 152), (70, 130, 180), (220, 20, 60),
+     (255, 0, 0), (0, 0, 142), (0, 0, 70), (0, 60, 100), (0, 0, 90),
+     (0, 0, 110), (0, 80, 100), (0, 0, 230), (119, 11, 32), (0, 0, 142)],
+    dtype=np.uint8)
+
+
 def labelcolormap(N: int) -> np.ndarray:
-    """The standard PASCAL-style bit-shuffling colormap, (N, 3) uint8."""
+    """The standard PASCAL-style bit-shuffling colormap, (N, 3) uint8;
+    N==35 returns the fixed Cityscapes palette like the reference.
+    (The reference's N==182 COCO name-keyed overrides need its bundled
+    coco label table and are intentionally not reproduced.)"""
+    if N == 35:
+        return _CITYSCAPES_35.copy()
     cmap = np.zeros((N, 3), dtype=np.uint8)
     for i in range(N):
         r = g = b = 0

@@ -195,3 +195,18 @@ def test_gated_patches_still_contribute_to_softmax():
         jnp.asarray(f), jnp.asarray(f), jnp.asarray(mask), return_weights=True)
     P = w.shape[-1]
     np.testing.assert_allclose(np.asarray(w), 1.0 / P, rtol=1e-6)
+
+
+def test_attention_preserves_bf16_dtype():
+    """bf16 callers must get bf16 back from every attention impl — the
+    XLA/sharded paths promoting to f32 silently undid mixed precision for
+    the whole stage-2 tail."""
+    import jax
+    from sketchedit_tpu.ops.attention import (
+        contextual_attention, splitcam_attention, SplitCAMConfig)
+    rs = np.random.RandomState(0)
+    f = jnp.asarray(rs.randn(1, 8, 8, 4), dtype=jnp.bfloat16)
+    mask = jnp.asarray((rs.rand(1, 8, 8, 1) > 0.5).astype(np.float32))
+    assert contextual_attention(f, f, mask).dtype == jnp.bfloat16
+    assert splitcam_attention(f, f, mask, SplitCAMConfig()).dtype \
+        == jnp.bfloat16

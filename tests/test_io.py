@@ -104,7 +104,15 @@ def test_labels_colormap():
     from sketchedit_tpu.utils.labels import labelcolormap, tensor2label
     cmap = labelcolormap(35)
     assert cmap.shape == (35, 3)
-    assert len({tuple(c) for c in cmap}) == 35    # distinct colors
+    # N==35 is the fixed Cityscapes table (reference util.py:239-245):
+    # road / sidewalk / sky / person carry the canonical colors
+    assert tuple(cmap[7]) == (128, 64, 128)
+    assert tuple(cmap[8]) == (244, 35, 232)
+    assert tuple(cmap[23]) == (70, 130, 180)
+    assert tuple(cmap[24]) == (220, 20, 60)
+    # other N use the bit-shuffling map with distinct colors
+    cmap20 = labelcolormap(20)
+    assert len({tuple(c) for c in cmap20}) == 20
     lab = np.zeros((8, 8), np.int64)
     lab[:4] = 1
     vis = tensor2label(lab, 35)
@@ -153,3 +161,26 @@ def test_stage_timer():
         h["out"] = jnp.ones((4,))
     rep = t.report()
     assert "a" in rep
+
+
+def test_iteration_counter_resume_phase_matches_reference(tmp_path):
+    """Resume restarts the image total at (epoch-1)*dataset_size + images
+    (reference util/iter_counter.py semantics) — with dataset_size not a
+    multiple of batchSize, the steps*batch formula would drift the phase
+    of every image-denominated periodic trigger."""
+    import argparse
+    from sketchedit_tpu.utils.iter_counter import IterationCounter
+    ckdir = tmp_path / "t"
+    ckdir.mkdir()
+    (ckdir / "iter.txt").write_text("11\n0\n")
+    opt = argparse.Namespace(
+        batchSize=16, niter=20, niter_decay=0, save_latest_freq=5000,
+        print_freq=100, display_freq=100, save_epoch_freq=10,
+        checkpoints_dir=str(tmp_path), name="t", isTrain=True,
+        continue_train=True)
+    it = IterationCounter(opt, dataset_size=1000)
+    assert it.first_epoch == 11
+    assert it.total_steps_so_far == 10 * 1000     # not 10 * 62 * 16 = 9920
+    it.record_epoch_start(11)
+    it.record_one_iteration()
+    assert it.total_steps_so_far == 10 * 1000 + 16

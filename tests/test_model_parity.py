@@ -120,3 +120,24 @@ def test_converter_roundtrip(reference_modules):
     back = params_to_state_dict(params)
     for k, v in netM.state_dict().items():
         np.testing.assert_array_equal(back[k], v.numpy())
+
+
+def test_edit_validates_pallas_grid_early():
+    """Sizes that are 4-but-not-8 aligned must fail fast with ValueError
+    when the pallas attention path is configured (its s2d patch grid needs
+    an even H/4 feature map), instead of crashing mid-trace."""
+    import pytest as _pytest
+    from sketchedit_tpu.models import editline2
+    from sketchedit_tpu.models.editline2 import EditLine2Config
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+    cfg = EditLine2Config(netg=DeepFillConfig(attention_impl="pallas"))
+    params = editline2.init_params(jax.random.PRNGKey(0))
+    img = jnp.zeros((1, 84, 84, 3), jnp.float32)   # 84 % 4 == 0, % 8 != 0
+    sk = jnp.zeros((1, 84, 84, 1), jnp.float32)
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        editline2.edit(params, img, sk, config=cfg)
+    # the xla impl keeps accepting /4 sizes
+    out, _ = editline2.edit(
+        params, img, sk,
+        config=EditLine2Config(netg=DeepFillConfig(attention_impl="xla")))
+    assert out.shape == (1, 84, 84, 3)

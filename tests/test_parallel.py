@@ -138,3 +138,18 @@ def test_dp_train_step_matches_single_device():
         dp_w = np.asarray(dp_state["params"][name]["conv1"]["w"])
         np.testing.assert_allclose(dp_w, ref_w, rtol=1e-4, atol=1e-5,
                                    err_msg=name)
+
+
+def test_sharded_attention_preserves_bf16_and_precision():
+    from sketchedit_tpu.parallel.sharded_attention import (
+        contextual_attention_sharded, patch_mesh)
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    mesh = patch_mesh(2)
+    rs = np.random.RandomState(0)
+    f = jnp.asarray(rs.randn(1, 8, 8, 4), dtype=jnp.bfloat16)
+    mask = jnp.asarray((rs.rand(1, 8, 8, 1) > 0.5).astype(np.float32))
+    out = contextual_attention_sharded(
+        f, f, mask, mesh, precision=jax.lax.Precision.HIGHEST)
+    assert out.dtype == jnp.bfloat16

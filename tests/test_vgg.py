@@ -259,3 +259,16 @@ def test_g_image_loss_stack_parity_with_vgg(vgg_fixture, filt_maskim):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=2e-3, atol=2e-4,
                                    err_msg=k)
+
+
+def test_load_vgg_params_rejects_short_npz(tmp_path):
+    """A malformed/truncated weights file must fail loudly at load time,
+    not pass the trainer's `is not None` gate and crash mid-step."""
+    import numpy as np
+    import pytest as _pytest
+    from sketchedit_tpu.train.losses import load_vgg_params
+    bad = tmp_path / "short.npz"
+    np.savez(bad, conv_0_w=np.zeros((3, 3, 3, 64), np.float32),
+             conv_0_b=np.zeros((64,), np.float32))
+    with _pytest.raises(ValueError, match="needs 16"):
+        load_vgg_params(str(bad))
