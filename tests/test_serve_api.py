@@ -39,7 +39,9 @@ def _post(port, body, as_json=True):
         f"http://127.0.0.1:{port}/edit", data=data,
         headers={"Content-Type": "application/json"})
     try:
-        with urllib.request.urlopen(req, timeout=180) as r:
+        # generous: under a loaded host (full-suite parallelism) a CPU
+        # edit can take minutes; 180s flaked once
+        with urllib.request.urlopen(req, timeout=540) as r:
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, None
