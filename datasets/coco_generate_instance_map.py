@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--train_img_dir", default=None,
                     help="unused; kept for script compatibility")
     args = ap.parse_args()
+    if cv2 is None:
+        # fail at startup with a clear message, not mid-run on the first
+        # polygon annotation with an AttributeError on None
+        raise SystemExit("opencv-python is required to rasterize polygon "
+                         "annotations (import cv2 failed)")
     os.makedirs(args.output_dir, exist_ok=True)
 
     with open(args.annotation_file) as f:

@@ -18,7 +18,7 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(batch, size, mode, logdir):
+def run(batch, size, mode, logdir, dtype, precision):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -29,7 +29,11 @@ def run(batch, size, mode, logdir):
     if mode == "train":
         from sketchedit_tpu.train.trainer import (
             TrainConfig, init_train_state, train_step)
-        cfg = TrainConfig()
+        # mirror bench.py's train config (bf16, backend-default matmul
+        # passes) so the profile explains the published numbers
+        cfg = TrainConfig(compute_dtype=dtype,
+                          precision=None if precision == "default"
+                          else precision)
         state = init_train_state(jax.random.PRNGKey(0), cfg)
         batch_d = {
             "image": jnp.asarray(rs.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)),
@@ -50,7 +54,10 @@ def run(batch, size, mode, logdir):
     else:
         from sketchedit_tpu.models import editline2
         from sketchedit_tpu.models.editline2 import EditLine2Config
-        config = EditLine2Config(compute_dtype="bfloat16")
+        # mirror bench.py's inference config (bf16 + backend-default)
+        config = EditLine2Config(
+            compute_dtype=dtype,
+            precision=None if precision == "default" else precision)
         params = editline2.init_params(jax.random.PRNGKey(0))
         img = jnp.asarray(rs.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32))
         sk = jnp.asarray((rs.rand(batch, size, size, 1) > 0.95).astype(np.float32))
@@ -111,11 +118,15 @@ def main():
     ap.add_argument("--logdir", default="/tmp/sketchedit_trace")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--precision", default="default",
+                    help="'default' (bench/serving config) or 'highest'")
     args = ap.parse_args()
     if not args.parse_only:
         import shutil
         shutil.rmtree(args.logdir, ignore_errors=True)
-        run(args.batch, args.size, args.mode, args.logdir)
+        run(args.batch, args.size, args.mode, args.logdir,
+            args.dtype, args.precision)
     parse(args.logdir, args.top)
 
 

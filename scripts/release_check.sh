@@ -1,6 +1,6 @@
 #!/bin/bash
 # End-of-round release checklist: everything the driver/judge exercises.
-set -e
+set -e -o pipefail    # pipes through tail/tee must not mask failures
 cd "$(dirname "$0")/.."
 
 echo "=== 1/6 unit + parity suite (CPU) ==="

@@ -57,7 +57,13 @@ def main():
     executor.warmup((EDIT_SIZE, EDIT_SIZE))
     print("warmup done")
 
+    MAX_BODY = 64 * 1024 * 1024          # 2x a 4096^2 PNG pair, generous
+
     class Handler(BaseHTTPRequestHandler):
+        # socket timeout: a client that sends fewer bytes than its
+        # Content-Length must not hang a handler thread forever
+        timeout = 120
+
         def log_message(self, *a):
             pass
 
@@ -70,6 +76,9 @@ def main():
                 # decode is server-side -> 500
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > MAX_BODY:
+                        self.send_error(413, "request body too large")
+                        return
                     payload = json.loads(self.rfile.read(length))
                     img = Image.open(io.BytesIO(
                         base64.b64decode(payload["image"]))).convert("RGB")

@@ -58,8 +58,10 @@ class TrainConfig:
     # Fresh-training init. The reference default (xavier gain 0.02,
     # base_options.py:56-57) yields ~6e-4-std weights that underflow
     # gradients through this norm-free 17-layer stack; kaiming keeps signal
-    # scale healthy. 'xavier' remains available for strict compat.
+    # scale healthy. 'xavier' remains available for strict compat
+    # (train.py wires --init_type/--init_variance here).
     init_type: str = "kaiming"
+    init_gain: float = 0.02          # used by the xavier compat path
     # Rematerialize the generator forward in the backward pass — trades
     # ~30% step time for roughly halved activation memory; enables larger
     # per-chip train batches at 256^2+.
@@ -138,9 +140,9 @@ def init_train_state(key, cfg: TrainConfig, dtype=jnp.float32):
     km, kg, kd = jax.random.split(key, 3)
     params = {
         "M": md_generator.init_params(km, init_type=cfg.init_type,
-                                      dtype=dtype),
+                                      gain=cfg.init_gain, dtype=dtype),
         "G": deepfill_c2.init_params(kg, init_type=cfg.init_type,
-                                     dtype=dtype),
+                                     gain=cfg.init_gain, dtype=dtype),
         "D": (discriminator.init_multiscale_params(kd, num_d=cfg.num_d,
                                                    dtype=dtype)
               if cfg.netd == "multiscale"

@@ -42,6 +42,7 @@ def main():
     dataloader = data.create_dataloader(opt)
     # --niter_decay: epoch-denominated flags -> step-denominated schedule
     steps_per_epoch = max(1, len(dataloader.dataset) // opt.batchSize)
+    vgg_params = load_vgg_params()       # loaded once, serves both uses
     cfg = TrainConfig(
         netg=DeepFillConfig(
             use_cam=opt.use_cam, pool_type=opt.pool_type,
@@ -51,7 +52,9 @@ def main():
         gan_mode=opt.gan_mode, lambda_l1=opt.lambda_l1,
         lambda_l1_mask=opt.lambda_l1_mask, lambda_vgg=opt.lambda_vgg,
         no_gan_loss=opt.no_gan_loss,
-        no_vgg_loss=opt.no_vgg_loss or load_vgg_params() is None,
+        no_vgg_loss=opt.no_vgg_loss or vgg_params is None,
+        precision=(None if opt.precision == "default" else opt.precision),
+        init_type=opt.init_type, init_gain=opt.init_variance,
         filt_maskim=opt.filt_maskim, no_detach=opt.no_detach,
         netd=opt.netD, num_d=opt.num_D,
         update_part=opt.update_part, lr=opt.lr, beta1=opt.beta1,
@@ -60,7 +63,8 @@ def main():
         lr_decay_start=opt.niter * steps_per_epoch,
         lr_decay_steps=opt.niter_decay * steps_per_epoch,
         compute_dtype=opt.compute_dtype)
-    vgg_params = None if cfg.no_vgg_loss else load_vgg_params()
+    if cfg.no_vgg_loss:
+        vgg_params = None
 
     state = init_train_state(jax.random.PRNGKey(0), cfg)
     if opt.continue_train:
@@ -100,6 +104,11 @@ def main():
 
     iter_counter = IterationCounter(opt, len(dataloader.dataset))
     key = jax.random.PRNGKey(opt.niter)
+    if int(state["step"]):
+        # resumed run: decorrelate the branch-flag/mask stream from the
+        # prefix the original run already consumed (a fresh key would
+        # replay the identical draws from step 0)
+        key = jax.random.fold_in(key, int(state["step"]))
 
     # failure handling: on SIGTERM/SIGINT, save a resume-exact checkpoint
     # before exiting (preemption-safe training). The handler only sets a
