@@ -276,12 +276,22 @@ def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
 
 
 def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
-                               q_tile: int = 128, kv_tile: int = 128):
-    """Flash-style dQ/dK/dV. All quadratic terms stay in VMEM tiles."""
+                               q_tile: int = 256, kv_tile: int = 256,
+                               dkv_tile: int = 128):
+    """Flash-style dQ/dK/dV. All quadratic terms stay in VMEM tiles.
+
+    Bigger tiles + dO streamed in the input dtype lift the kernels from
+    ~47% MFU (they were the two biggest ops of the bf16 train step at
+    128/128 with an f32 dO stream). The dK/dV kernel keeps 128-row kv
+    blocks — its TWO f32 outputs + accumulators blow the 16M scoped-VMEM
+    limit at 256 — while streaming 256-row q/dO tiles. delta is computed
+    OUTSIDE from the f32 out residual, so the only bf16 rounding added is
+    on the dP = dO @ V^T operand — the same class as the inputs.
+    """
     B, N, D = Q.shape
     P = K.shape[1]
     Qp, Kp, Vp, gate, Np, Pp, Dp = _pad_qkv(Q, K, V, keep, q_tile, kv_tile)
-    dOp = jnp.pad(dO.astype(jnp.float32),
+    dOp = jnp.pad(dO.astype(Q.dtype),
                   ((0, 0), (0, Np - N), (0, Dp - D)))
     # delta_i = sum_d dO_id * O_id — the flash softmax-backward row term
     delta = jnp.sum(dO.astype(jnp.float32) * out, axis=-1)          # (B, N)
@@ -312,26 +322,26 @@ def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
 
     dK, dV = pl.pallas_call(
         functools.partial(_dkdv_kernel, scale=softmax_scale),
-        grid=(B, Pp // kv_tile, Np // q_tile),
+        grid=(B, Pp // dkv_tile, Np // q_tile),
         in_specs=[
-            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, dkv_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, dkv_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, dkv_tile), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, j, 0)),
             row_spec_j,
             row_spec_j,
         ],
         out_specs=[
-            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, dkv_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, dkv_tile, Dp), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
             jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((kv_tile, Dp), jnp.float32),
-                        pltpu.VMEM((kv_tile, Dp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((dkv_tile, Dp), jnp.float32),
+                        pltpu.VMEM((dkv_tile, Dp), jnp.float32)],
     )(Kp, Vp, gate, Qp, dOp, lse_p, delta_p)
 
     return (dQ[:, :N, :D], dK[:, :P, :D], dV[:, :P, :D])
