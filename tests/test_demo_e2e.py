@@ -50,6 +50,11 @@ def demo_server(tmp_path_factory):
                 break
             if time.time() > deadline or proc.poll() is not None:
                 pytest.fail(f"demo failed to start: {line!r}")
+        # keep draining stdout so compile-load warnings can't fill the
+        # pipe and block the server
+        import threading
+        threading.Thread(target=lambda: proc.stdout.read(),
+                         daemon=True).start()
         yield port
     finally:
         proc.terminate()

@@ -66,6 +66,11 @@ def api_server(tmp_path_factory):
                 break
             if time.time() > deadline or proc.poll() is not None:
                 pytest.fail(f"server failed to warm up: {line!r}")
+        # keep draining stdout: later compile-cache loads emit kilobytes
+        # of cpu_aot warnings; a full pipe would block the server
+        import threading
+        threading.Thread(target=lambda: proc.stdout.read(),
+                         daemon=True).start()
         yield port
     finally:
         proc.terminate()
