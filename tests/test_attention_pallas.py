@@ -82,3 +82,15 @@ class _nullctx:
 
     def __exit__(self, *a):
         return False
+
+
+def test_fwd_tile_selection_respects_out_dtype():
+    """bf16 streams get 512-row q tiles ONLY with a narrow out dtype; the
+    differentiated path's f32 write-out must halve them — 512+f32 blows
+    the 16M scoped-VMEM limit at D=1536 (256^2 training failed to
+    compile)."""
+    import jax.numpy as jnp
+    from sketchedit_tpu.ops.attention_pallas import _fwd_tiles
+    assert _fwd_tiles(jnp.bfloat16, jnp.bfloat16, 4096, 4096)[0] == 512
+    assert _fwd_tiles(jnp.bfloat16, jnp.float32, 4096, 4096)[0] == 256
+    assert _fwd_tiles(jnp.float32, jnp.float32, 4096, 4096)[0] == 128
