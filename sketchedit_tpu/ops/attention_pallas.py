@@ -187,6 +187,77 @@ def _dkdv_kernel(k_ref, v_ref, gate_ref, q_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _dv_kernel(k_ref, gate_ref, q_ref, do_ref, lse_ref,
+               dv_ref, dv_acc, *, scale: float):
+    """Grid (B, Nkv, Nq): dV += P^T @ dO for one kv tile across q tiles.
+    Single f32 output -> 256-row kv blocks fit the scoped-VMEM budget
+    (the fused dK+dV kernel's two outputs cap it at 128)."""
+    j = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0].astype(jnp.float32)
+    g = gate_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0:1]
+
+    gmul = _gate_mul(g)[None, :] * scale
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    logits = jnp.where(g[None, :] <= NEG_INF * 0.5, NEG_INF, sim * gmul)
+    p = jnp.exp(logits - lse)
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nq - 1)
+    def _():
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _dk_kernel(k_ref, v_ref, gate_ref, q_ref, do_ref, lse_ref, delta_ref,
+               dk_ref, dk_acc, *, scale: float):
+    """Grid (B, Nkv, Nq): dK += (dS * gate * scale)^T @ Q, 256-row kv
+    blocks (single f32 output)."""
+    j = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = gate_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0:1]
+    delta = delta_ref[0, :, 0:1]
+
+    gmul = _gate_mul(g)[None, :] * scale
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    logits = jnp.where(g[None, :] <= NEG_INF * 0.5, NEG_INF, sim * gmul)
+    p = jnp.exp(logits - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * gmul
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -287,6 +358,12 @@ def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
     limit at 256 — while streaming 256-row q/dO tiles. delta is computed
     OUTSIDE from the f32 out residual, so the only bf16 rounding added is
     on the dP = dO @ V^T operand — the same class as the inputs.
+
+    SKETCHEDIT_SPLIT_DKDV=1 routes through separate single-output dK and
+    dV kernels whose lone f32 output fits 256-row kv blocks. MEASURED a
+    wash on v5e (125.6 vs 125.2 img/s train @256^2 b16): the split's
+    better tiles are cancelled by recomputing sim/p in both kernels
+    (5 matmuls vs 4). Kept as the record of the measurement.
     """
     B, N, D = Q.shape
     P = K.shape[1]
@@ -319,6 +396,31 @@ def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
         out_shape=jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((q_tile, Dp), jnp.float32)],
     )(Qp, Kp, Vp, gate, dOp, lse_p, delta_p)
+
+    import os as _os
+    if _os.environ.get("SKETCHEDIT_SPLIT_DKDV") == "1":
+        kv_spec = pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, i, 0))
+        q_stream = pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, j, 0))
+        gate_spec = pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, i))
+        grid_kv = (B, Pp // kv_tile, Np // q_tile)
+        dV = pl.pallas_call(
+            functools.partial(_dv_kernel, scale=softmax_scale),
+            grid=grid_kv,
+            in_specs=[kv_spec, gate_spec, q_stream, q_stream, row_spec_j],
+            out_specs=kv_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((kv_tile, Dp), jnp.float32)],
+        )(Kp, gate, Qp, dOp, lse_p)
+        dK = pl.pallas_call(
+            functools.partial(_dk_kernel, scale=softmax_scale),
+            grid=grid_kv,
+            in_specs=[kv_spec, kv_spec, gate_spec, q_stream, q_stream,
+                      row_spec_j, row_spec_j],
+            out_specs=kv_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((kv_tile, Dp), jnp.float32)],
+        )(Kp, Vp, gate, Qp, dOp, lse_p, delta_p)
+        return (dQ[:, :N, :D], dK[:, :P, :D], dV[:, :P, :D])
 
     dK, dV = pl.pallas_call(
         functools.partial(_dkdv_kernel, scale=softmax_scale),
