@@ -179,7 +179,8 @@ def main():
     images_per_sec = BATCH * ITERS / dt
     print(json.dumps({
         "metric": f"images/sec/chip, {SIZE}x{SIZE} edit, batch {BATCH}, "
-                  f"{DTYPE}, attention={ATTENTION}, {mode}",
+                  f"{DTYPE}, attention={ATTENTION}, {mode}"
+                  + (", u8-io" if use_u8 else ""),
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
