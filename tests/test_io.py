@@ -184,3 +184,61 @@ def test_iteration_counter_resume_phase_matches_reference(tmp_path):
     it.record_epoch_start(11)
     it.record_one_iteration()
     assert it.total_steps_so_far == 10 * 1000 + 16
+
+
+def test_create_dataloader_trainval(tmp_path):
+    """Reference data/__init__.py:51-77 dual train/val loaders: train
+    shuffles and drops the remainder, val is ordered and keeps it."""
+    from PIL import Image
+    from sketchedit_tpu.data import create_dataloader_trainval
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(5):
+        Image.fromarray((rs.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            imgs / f"{i}.png")
+    opt = argparse.Namespace(
+        isTrain=True, dataset_mode_train="editimage",
+        dataset_mode_val="editimage", serial_batches=True, batchSize=2,
+        nThreads=0, train_image_dir=str(imgs), train_image_list=None,
+        preprocess_mode="resize_and_crop", load_size=32, crop_size=32,
+        aspect_ratio=1.0, no_flip=True, not_om=True, cjit=None,
+        canny_low=100, canny_high=200,
+        path_objectshape_list=None, path_objectshape_base=None)
+    train_dl, val_dl = create_dataloader_trainval(opt)
+    train_batches = list(train_dl)
+    val_batches = list(val_dl)
+    assert len(train_batches) == 2          # drop_last: 5 // 2
+    assert len(val_batches) == 3            # padded remainder kept
+    assert train_batches[0]["image"].shape[0] == 2
+
+
+def test_testimage_multi_dataset_semicolon_paths(tmp_path):
+    """test.py's celeb+places joint runs: ';'-separated dirs/lists with
+    per-dataset output labels (testimage_dataset.py:24-43)."""
+    from PIL import Image
+    from sketchedit_tpu.data.testimage import TestImageDataset
+    for name in ("a", "b"):
+        d = tmp_path / name
+        (d / "images").mkdir(parents=True)
+        (d / "edges").mkdir()
+        rs = np.random.RandomState(0)
+        Image.fromarray((rs.rand(16, 16, 3) * 255).astype(np.uint8)).save(
+            d / "images" / "x.png")
+        Image.fromarray(
+            ((rs.rand(16, 16) > 0.9) * 255).astype(np.uint8)).save(
+            d / "edges" / "x.png")
+        (d / "list.txt").write_text("x.png\n")
+    opt = argparse.Namespace(
+        image_dirs=f"{tmp_path}/a/images;{tmp_path}/b/images",
+        mask_dirs=f"{tmp_path}/a/edges;{tmp_path}/b/edges",
+        image_lists=f"{tmp_path}/a/list.txt;{tmp_path}/b/list.txt",
+        image_postfix=".png", mask_postfix=".png",
+        output_labels="celeb;places",
+        output_dir=str(tmp_path), output_mask_dir=None)
+    ds = TestImageDataset()
+    ds.initialize(opt)
+    assert len(ds) == 2
+    assert ds[0]["path"] == "celeb_x.png"
+    assert ds[1]["path"] == "places_x.png"
+    assert ds[1]["image"].shape == (16, 16, 3)

@@ -51,6 +51,29 @@ def test_export_torch_checkpoint(tmp_path):
         net.conv1.weight.detach().numpy(),
         np.asarray(params["conv1"]["w"]).transpose(3, 2, 0, 1))
 
+    # full interop: the reference net RUNNING OUR EXPORTED WEIGHTS must
+    # produce our forward's output (train here -> deploy on the torch
+    # release works end-to-end, not just key-for-key)
+    from sketchedit_tpu.models import md_generator
+    net.eval()
+    rs = np.random.RandomState(0)
+    img = rs.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    sk = (rs.rand(1, 32, 32, 1) > 0.9).astype(np.float32)
+    with torch.no_grad():
+        mask_t, imout_t = net(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(sk.transpose(0, 3, 1, 2)))
+    import jax.numpy as jnp
+    mask_j, imout_j = md_generator.apply(
+        params, jnp.asarray(img), jnp.asarray(sk),
+        precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(
+        np.asarray(mask_j)[0], mask_t[0].permute(1, 2, 0).numpy(),
+        atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(imout_j)[0], imout_t[0].permute(1, 2, 0).numpy(),
+        atol=2e-5)
+
 
 def test_convert_vgg19(tmp_path):
     import torch
