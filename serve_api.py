@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 from PIL import Image
 
-EDIT_SIZE = 256
+EDIT_SIZE = 256          # default; --edit_size overrides (multiple of 8)
 
 
 def main():
@@ -35,6 +35,10 @@ def main():
             # measured sweet spot: throughput roughly doubles 32 -> 128
             # (1016 img/s @256^2 b128 bf16 on v5e-1)
             parser.add_argument('--max_batch', type=int, default=128)
+            parser.add_argument('--edit_size', type=int, default=EDIT_SIZE,
+                                help='square working resolution (multiple '
+                                     'of 8); outputs resize back to the '
+                                     'input size')
             parser.add_argument('--max_wait_ms', type=float, default=5.0)
             # serving default is the throughput config (bf16 activations,
             # backend-default MXU passes): ~1.6x fp32 on v5e, visually
@@ -46,6 +50,9 @@ def main():
             return parser
 
     opt = ApiOptions().parse()
+    edit_size = opt.edit_size
+    if edit_size % 8:
+        raise SystemExit(f"--edit_size {edit_size} must be a multiple of 8")
 
     from sketchedit_tpu.runner import build_pipeline
     from sketchedit_tpu.server.executor import BatchingExecutor
@@ -54,7 +61,7 @@ def main():
     executor = BatchingExecutor(pipeline, max_batch=opt.max_batch,
                                 max_wait_ms=opt.max_wait_ms)
     print("warming batch buckets (one compile per bucket size)...")
-    executor.warmup((EDIT_SIZE, EDIT_SIZE))
+    executor.warmup((edit_size, edit_size))
     print("warmup done")
 
     MAX_BODY = 64 * 1024 * 1024          # 2x a 4096^2 PNG pair, generous
@@ -94,9 +101,9 @@ def main():
                     return
                 w0, h0 = img.size
                 img_u8 = np.asarray(
-                    img.resize((EDIT_SIZE, EDIT_SIZE)), np.uint8)
+                    img.resize((edit_size, edit_size)), np.uint8)
                 sk_u8 = np.asarray(
-                    sk.resize((EDIT_SIZE, EDIT_SIZE)), np.uint8)[:, :, None]
+                    sk.resize((edit_size, edit_size)), np.uint8)[:, :, None]
 
                 composed, mask = executor.submit(img_u8, sk_u8).result(
                     timeout=120)
