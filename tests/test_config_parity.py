@@ -18,18 +18,23 @@ from torch_oracle import add_reference_to_path, reference_opt, to_nchw, to_nhwc
 HIGH = jax.lax.Precision.HIGHEST
 
 
-@pytest.mark.parametrize("pool_type,no_mask_cc,no_mask_coarse,joint", [
-    ("avg", False, False, True),
-    ("max", True, False, True),
-    ("max", False, True, True),
-    ("max", False, False, False),
-    ("avg", True, True, False),
-])
-def test_deepfill_flag_parity(pool_type, no_mask_cc, no_mask_coarse, joint):
+import itertools
+
+
+@pytest.mark.parametrize(
+    "use_cam,pool_type,no_mask_cc,no_mask_coarse,joint",
+    # EXHAUSTIVE: the full reachable netG flag space (2^5 = 32 combos,
+    # incl. use_cam=False which disables the attention branch entirely —
+    # editline_g.py:203-210)
+    list(itertools.product([True, False], ["max", "avg"], [False, True],
+                           [False, True], [True, False])))
+def test_deepfill_flag_parity(use_cam, pool_type, no_mask_cc,
+                              no_mask_coarse, joint):
     add_reference_to_path()
     from models.networks.editline_g import DeepFillC2Generator
 
-    opt = reference_opt(pool_type=pool_type, no_mask_cc=no_mask_cc,
+    opt = reference_opt(use_cam=use_cam, pool_type=pool_type,
+                        no_mask_cc=no_mask_cc,
                         no_mask_coarse=no_mask_coarse,
                         joint_train_inp=joint)
     g = torch.Generator().manual_seed(11)
@@ -41,7 +46,8 @@ def test_deepfill_flag_parity(pool_type, no_mask_cc, no_mask_coarse, joint):
     net.eval()
     params = state_dict_to_params(net.state_dict())
 
-    cfg = DeepFillConfig(pool_type=pool_type, no_mask_cc=no_mask_cc,
+    cfg = DeepFillConfig(use_cam=use_cam, pool_type=pool_type,
+                         no_mask_cc=no_mask_cc,
                          no_mask_coarse=no_mask_coarse,
                          joint_train_inp=joint, attention_impl="xla")
 
