@@ -144,3 +144,34 @@ def test_editimage_cjit_changes_image_not_edges(tmp_path):
     di = (plain['image_u8'].astype(np.int16)
           - jittered['image_u8'].astype(np.int16))
     assert np.abs(di).max() > 2
+
+
+def test_scale_width_and_crop_and_shortside_and_crop():
+    """The two *_and_crop modes: scaled dims follow the reference formulas
+    and the crop lands inside them."""
+    opt = _opt('scale_width_and_crop', load=32, crop=16)
+    rng = np.random.default_rng(0)
+    params = get_params(opt, (64, 48), rng)   # w,h -> new (32, 24)
+    out = apply_transform(opt, _img(64, 48), params)
+    assert out.size == (16, 16)
+
+    opt = _opt('scale_shortside_and_crop', load=32, crop=16)
+    params = get_params(opt, (64, 48), rng)   # shortside quirk: ss stays
+    out = apply_transform(opt, _img(64, 48), params)
+    assert out.size == (16, 16)
+
+
+def test_crop_positions_reach_the_right_bottom_edge():
+    """Reference random.randint is INCLUSIVE of new_dim - crop_size: the
+    right/bottom-most crop must be reachable (the exclusive-bound bug
+    silently biased every *_and_crop augmentation)."""
+    opt = _opt('resize_and_crop', load=32, crop=16)
+    rng = np.random.default_rng(0)
+    xs, ys = set(), set()
+    for _ in range(400):
+        p = get_params(opt, (64, 64), rng)
+        x, y = p.crop_pos
+        xs.add(x)
+        ys.add(y)
+    assert max(xs) == 32 - 16 and max(ys) == 32 - 16
+    assert min(xs) == 0 and min(ys) == 0
