@@ -242,3 +242,33 @@ def test_testimage_multi_dataset_semicolon_paths(tmp_path):
     assert ds[0]["path"] == "celeb_x.png"
     assert ds[1]["path"] == "places_x.png"
     assert ds[1]["image"].shape == (16, 16, 3)
+
+
+def test_object_mask_and_shadow(tmp_path):
+    """The object-shape branch (mask_creator.py:86-133): load a shape from
+    the configured list, scale/crop/place it, and derive the shadow pair
+    (blurred mask + dilated expansion)."""
+    from PIL import Image
+    from sketchedit_tpu.data.mask_creator import MaskCreator, external_mask
+    shapes = tmp_path / "shapes"
+    shapes.mkdir()
+    for i in range(2):
+        m = np.zeros((40, 40), np.uint8)
+        m[8 + i:32, 8:32 - i] = 255
+        Image.fromarray(m).save(shapes / f"s{i}.png")
+    (tmp_path / "list.txt").write_text("s0.png\ns1.png\n")
+
+    mc = MaskCreator(str(tmp_path / "list.txt"), str(shapes),
+                     rng=np.random.default_rng(3))
+    om = mc.object_mask(64, 64)
+    assert om.shape == (64, 64)
+    assert set(np.unique(om)).issubset({0.0, 1.0}) and om.sum() > 0
+
+    shadow, expand = mc.object_shadow(64, 64)
+    assert shadow.shape == (64, 64) and expand.shape == (64, 64)
+    # the dilated expansion covers at least the object's support
+    om2 = (shadow < 0.99).astype(np.float64)
+    assert expand.sum() >= om2.sum() > 0
+
+    e = external_mask(mc, 64, 64, use_object_masks=True)
+    assert e.shape == (64, 64) and e.dtype == np.float32 and e.sum() > 0
