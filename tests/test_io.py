@@ -272,3 +272,37 @@ def test_object_mask_and_shadow(tmp_path):
 
     e = external_mask(mc, 64, 64, use_object_masks=True)
     assert e.shape == (64, 64) and e.dtype == np.float32 and e.sum() > 0
+
+
+def test_editimage_with_object_masks(tmp_path):
+    """Full object-mask training data path: editimage with a configured
+    shape list (--not_om off) draws object-mask edit regions."""
+    from PIL import Image
+    from sketchedit_tpu.data.editimage import EditImageDataset
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    shapes = tmp_path / "shapes"
+    shapes.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            imgs / f"{i}.png")
+        m = np.zeros((40, 40), np.uint8)
+        m[8:32, 8:32] = 255
+        Image.fromarray(m).save(shapes / f"s{i}.png")
+    (tmp_path / "list.txt").write_text("s0.png\ns1.png\n")
+
+    opt = argparse.Namespace(
+        preprocess_mode='resize_and_crop', load_size=64, crop_size=64,
+        isTrain=True, no_flip=True, cjit=None,
+        train_image_dir=str(imgs), train_image_list=None,
+        canny_low=100, canny_high=200, not_om=False,
+        path_objectshape_list=str(tmp_path / "list.txt"),
+        path_objectshape_base=str(shapes))
+    ds = EditImageDataset()
+    ds.initialize(opt, seed=11)
+    item = ds[0]
+    for k in ("mask", "random_mask", "random_mask2"):
+        assert item[k].shape[:2] == (64, 64)
+        assert item[k].sum() >= 0
+    assert item["random_mask"].sum() > 0
