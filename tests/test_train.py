@@ -245,3 +245,24 @@ def test_dryrun_multichip_cpu_mesh():
     import __graft_entry__ as ge
     n = min(8, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+def test_remat_step_matches_plain():
+    """--remat (jax.checkpoint around the generator forward) trades step
+    time for memory and must be numerics-exact: one step with remat on
+    equals one step without, metric for metric and weight for weight."""
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+    results = []
+    for remat in (False, True):
+        cfg = TrainConfig(remat=remat)
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        results.append((new_state, metrics))
+    (s0, m0), (s1, m1) = results
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-6,
+                                   err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(s1["params"]["G"]["conv1"]["w"]),
+        np.asarray(s0["params"]["G"]["conv1"]["w"]), rtol=1e-6)
