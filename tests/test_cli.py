@@ -93,3 +93,26 @@ def test_runner_data_parallel_mesh():
     pipe1 = build_pipeline(opt)
     composed1, _ = pipe1(img, sk)
     np.testing.assert_allclose(composed, composed1, rtol=2e-5, atol=2e-5)
+
+
+def test_testpy_how_many_bounds_output(tiny_dataset, tmp_path):
+    """--how_many truncates processing at the batch whose start index
+    reaches the bound (test.py:27-30, reference test.py:21-23)."""
+    out_dir = tmp_path / "out"
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu",
+               SKETCHEDIT_CACHE_DIR=os.path.join(REPO, ".jax_cache"))
+    cmd = [sys.executable, os.path.join(REPO, "test.py"),
+           "--batchSize", "1", "--name", "clitest2",
+           "--checkpoints_dir", str(tmp_path / "ckpt"),
+           "--joint_train_inp", "--dataset_mode", "testimage",
+           "--image_dirs", str(tiny_dataset / "images"),
+           "--mask_dirs", str(tiny_dataset / "edges"),
+           "--image_lists", str(tiny_dataset / "list.txt"),
+           "--image_postfix", ".png", "--mask_postfix", ".png",
+           "--pool_type", "max", "--use_cam",
+           "--how_many", "2", "--output_dir", str(out_dir)]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
+                         env=env, cwd=REPO)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert sorted(os.listdir(out_dir)) == ["img0.png", "img1.png"]

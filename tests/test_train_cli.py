@@ -162,3 +162,40 @@ def test_trainpy_data_parallel_two_virtual_devices(tmp_path):
     # step-level equivalence proof)
     assert "'L1c': 1.2443" in res.stdout, res.stdout[-1500:]
     assert "latest_net_G.npz" in os.listdir(tmp_path / "ck" / "dptest")
+
+
+def test_load_pretrained_warm_start(tmp_path):
+    """--load_pretrained_mask/_g/_d warm-start individual nets from
+    explicit paths before training (train.py's warm-start loop)."""
+    import jax
+    import jax.numpy as jnp
+    from sketchedit_tpu.models import md_generator
+    from sketchedit_tpu.params import checkpoint as ckpt
+    params = md_generator.init_params(jax.random.PRNGKey(42))
+    opt = argparse.Namespace(checkpoints_dir=str(tmp_path), name="warm")
+    os.makedirs(tmp_path / "warm")
+    ckpt.save_network(params, "M", "latest", opt)
+    src = tmp_path / "warm" / "latest_net_M.npz"
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            imgs / f"{i}.png")
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu",
+               SKETCHEDIT_CACHE_DIR=os.path.join(REPO, ".jax_cache"))
+    cmd = [sys.executable, os.path.join(REPO, "train.py"),
+           "--name", "warmtest", "--checkpoints_dir", str(tmp_path / "ck"),
+           "--dataset_mode", "editimage", "--train_image_dir", str(imgs),
+           "--batchSize", "2", "--niter", "1", "--use_cam",
+           "--pool_type", "max", "--joint_train_inp", "--not_om",
+           "--preprocess_mode", "resize_and_crop", "--load_size", "64",
+           "--crop_size", "64", "--no_flip",
+           "--save_epoch_freq", "1", "--print_freq", "2",
+           "--load_pretrained_mask", str(src)]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+                         env=env, cwd=REPO)
+    assert res.returncode == 0, (res.stdout[-1500:], res.stderr[-2000:])
+    assert "loaded pretrained net M" in res.stdout
