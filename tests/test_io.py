@@ -306,3 +306,34 @@ def test_editimage_with_object_masks(tmp_path):
         assert item[k].shape[:2] == (64, 64)
         assert item[k].sum() >= 0
     assert item["random_mask"].sum() > 0
+
+
+def test_load_from_opt_file_restores_flags(tmp_path, monkeypatch):
+    """--load_from_opt_file re-applies the snapshotted flag values as
+    defaults (base_options.py:121-154) — only for REGISTERED flags
+    (namespace-only snapshot keys like isTrain must not be injected)."""
+    import sys as _sys
+    import json
+    from sketchedit_tpu.options.test_options import TestOptions
+    save_argv = ["prog", "--name", "t", "--dataset_mode", "base",
+                 "--checkpoints_dir", str(tmp_path),
+                 "--pool_type", "max", "--use_cam", "--joint_train_inp",
+                 "--crop_size", "128"]
+    monkeypatch.setattr(_sys, "argv", save_argv)
+    TestOptions().parse(save=True)
+    # poison the snapshot with a namespace-only key
+    snap = tmp_path / "t" / "opt.json"
+    data = json.loads(snap.read_text())
+    assert data["crop_size"] == 128 and "isTrain" in data
+    data["bogus_unregistered_key"] = 42
+    snap.write_text(json.dumps(data))
+
+    load_argv = ["prog", "--name", "t", "--dataset_mode", "base",
+                 "--checkpoints_dir", str(tmp_path),
+                 "--load_from_opt_file"]
+    monkeypatch.setattr(_sys, "argv", load_argv)
+    opt = TestOptions().parse()
+    assert opt.crop_size == 128            # restored from the snapshot
+    assert opt.pool_type == "max" and opt.use_cam
+    assert not hasattr(opt, "bogus_unregistered_key")
+    assert not opt.isTrain                 # phase comes from THIS parser
