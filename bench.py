@@ -124,6 +124,7 @@ def main():
             "unit": "images/sec",
             "vs_baseline": round(
                 images_per_sec / TRAIN_BASELINE_IMAGES_PER_SEC, 2),
+            "baseline_images_per_sec": TRAIN_BASELINE_IMAGES_PER_SEC,
         }))
         return
 
@@ -184,6 +185,7 @@ def main():
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+        "baseline_images_per_sec": BASELINE_IMAGES_PER_SEC,
     }))
 
 

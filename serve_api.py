@@ -36,9 +36,10 @@ def main():
             # (1016 img/s @256^2 b128 bf16 on v5e-1)
             parser.add_argument('--max_batch', type=int, default=128)
             parser.add_argument('--edit_size', type=int, default=EDIT_SIZE,
-                                help='square working resolution (multiple '
-                                     'of 8); outputs resize back to the '
-                                     'input size')
+                                help='square working canvas (multiple of '
+                                     '8); inputs are letterboxed onto it '
+                                     '(aspect preserved) and outputs '
+                                     'resize back to the input size')
             parser.add_argument('--max_wait_ms', type=float, default=5.0)
             # serving default is the throughput config (bf16 activations,
             # backend-default MXU passes): ~1.6x fp32 on v5e, visually
@@ -56,6 +57,8 @@ def main():
 
     from sketchedit_tpu.runner import build_pipeline
     from sketchedit_tpu.server.executor import BatchingExecutor
+    from sketchedit_tpu.server.letterbox import (
+        letterbox_fit, letterbox_restore)
 
     pipeline = build_pipeline(opt)
     executor = BatchingExecutor(pipeline, max_batch=opt.max_batch,
@@ -100,22 +103,25 @@ def main():
                              f"{str(e)[:160]}")
                     return
                 w0, h0 = img.size
-                img_u8 = np.asarray(
-                    img.resize((edit_size, edit_size)), np.uint8)
-                sk_u8 = np.asarray(
-                    sk.resize((edit_size, edit_size)), np.uint8)[:, :, None]
+                # aspect-preserving letterbox onto the shared square
+                # canvas: what the model sees is undistorted (like the
+                # demo path's /8 rounding, reference demo.py:43-45) while
+                # every request keeps ONE spatial shape so the executor
+                # still coalesces them into device batches
+                img_u8, sk_u8, content_wh = letterbox_fit(
+                    img, sk, edit_size)
 
                 composed, mask = executor.submit(img_u8, sk_u8).result(
                     timeout=120)
                 composed = np.asarray(composed)
+                mask = np.asarray(mask)
                 if composed.dtype != np.uint8:
                     composed = ((np.clip(composed.astype(np.float32), -1, 1)
                                  + 1) * 127.5).astype(np.uint8)
-                    mask = (np.clip(np.asarray(mask, np.float32), 0, 1)
+                    mask = (np.clip(mask.astype(np.float32), 0, 1)
                             * 255).astype(np.uint8)
-                out_img = Image.fromarray(composed).resize((w0, h0))
-                out_mask = Image.fromarray(
-                    np.asarray(mask)[:, :, 0]).resize((w0, h0))
+                out_img, out_mask = letterbox_restore(
+                    composed, mask, content_wh, (w0, h0))
 
                 def b64(im):
                     buf = io.BytesIO()

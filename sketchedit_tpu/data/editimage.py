@@ -46,6 +46,8 @@ class EditImageDataset:
         else:
             self.paths = make_dataset(
                 opt.train_image_dir,
+                read_cache=getattr(opt, 'cache_filelist_read', False),
+                write_cache=getattr(opt, 'cache_filelist_write', False),
                 max_dataset_size=getattr(opt, 'max_dataset_size', None))
         self.rng = np.random.default_rng(seed)
         self.mask_creator = MaskCreator(

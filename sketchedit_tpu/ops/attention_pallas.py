@@ -348,25 +348,33 @@ def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
 
 def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
                                q_tile: int = 256, kv_tile: int = 256,
-                               dkv_tile: int = 128):
+                               dkv_tile: int | None = None):
     """Flash-style dQ/dK/dV. All quadratic terms stay in VMEM tiles.
 
     Bigger tiles + dO streamed in the input dtype lift the kernels from
     ~47% MFU (they were the two biggest ops of the bf16 train step at
-    128/128 with an f32 dO stream). The dK/dV kernel keeps 128-row kv
-    blocks — its TWO f32 outputs + accumulators blow the 16M scoped-VMEM
-    limit at 256 — while streaming 256-row q/dO tiles. delta is computed
-    OUTSIDE from the f32 out residual, so the only bf16 rounding added is
-    on the dP = dO @ V^T operand — the same class as the inputs.
+    128/128 with an f32 dO stream). delta is computed OUTSIDE from the
+    f32 out residual, so the only bf16 rounding added is on the
+    dP = dO @ V^T operand — the same class as the inputs.
+
+    The kernels emit gradients in the corresponding *input* dtype (the
+    caller casts dK to K.dtype etc. immediately anyway; f32 accumulation
+    happens in scratch either way, so the value is bit-identical). On the
+    bf16 train path that halves the dK/dV output-block footprint, which
+    is what lets the fused dK/dV kernel fit 256-row kv blocks under the
+    16M scoped-VMEM limit — previously its TWO f32 outputs capped it at
+    128 rows (60% MFU vs dQ's 76%). f32 inputs keep 128-row kv blocks.
 
     SKETCHEDIT_SPLIT_DKDV=1 routes through separate single-output dK and
-    dV kernels whose lone f32 output fits 256-row kv blocks. MEASURED a
-    wash on v5e (125.6 vs 125.2 img/s train @256^2 b16): the split's
-    better tiles are cancelled by recomputing sim/p in both kernels
-    (5 matmuls vs 4). Kept as the record of the measurement.
+    dV kernels (256-row kv blocks). MEASURED a wash on v5e against the
+    128-row f32-out fused kernel (125.6 vs 125.2 img/s train @256^2
+    b16): the split's better tiles are cancelled by recomputing sim/p in
+    both kernels (5 matmuls vs 4). Kept as the record of the measurement.
     """
     B, N, D = Q.shape
     P = K.shape[1]
+    if dkv_tile is None:
+        dkv_tile = 256 if jnp.dtype(K.dtype).itemsize <= 2 else 128
     Qp, Kp, Vp, gate, Np, Pp, Dp = _pad_qkv(Q, K, V, keep, q_tile, kv_tile)
     dOp = jnp.pad(dO.astype(Q.dtype),
                   ((0, 0), (0, Np - N), (0, Dp - D)))
@@ -393,7 +401,7 @@ def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
             row_spec,
         ],
         out_specs=pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), Q.dtype),
         scratch_shapes=[pltpu.VMEM((q_tile, Dp), jnp.float32)],
     )(Qp, Kp, Vp, gate, dOp, lse_p, delta_p)
 
@@ -408,7 +416,7 @@ def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
             grid=grid_kv,
             in_specs=[kv_spec, gate_spec, q_stream, q_stream, row_spec_j],
             out_specs=kv_spec,
-            out_shape=jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, Pp, Dp), V.dtype),
             scratch_shapes=[pltpu.VMEM((kv_tile, Dp), jnp.float32)],
         )(Kp, gate, Qp, dOp, lse_p)
         dK = pl.pallas_call(
@@ -417,7 +425,7 @@ def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
             in_specs=[kv_spec, kv_spec, gate_spec, q_stream, q_stream,
                       row_spec_j, row_spec_j],
             out_specs=kv_spec,
-            out_shape=jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, Pp, Dp), K.dtype),
             scratch_shapes=[pltpu.VMEM((kv_tile, Dp), jnp.float32)],
         )(Kp, Vp, gate, Qp, dOp, lse_p, delta_p)
         return (dQ[:, :N, :D], dK[:, :P, :D], dV[:, :P, :D])
@@ -439,8 +447,8 @@ def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
             pl.BlockSpec((1, dkv_tile, Dp), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((B, Pp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Pp, Dp), K.dtype),
+            jax.ShapeDtypeStruct((B, Pp, Dp), V.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((dkv_tile, Dp), jnp.float32),
                         pltpu.VMEM((dkv_tile, Dp), jnp.float32)],

@@ -62,6 +62,14 @@ class BaseOptions:
                             help='host-side prefetch threads')
         parser.add_argument('--max_dataset_size', type=int, default=sys.maxsize)
         parser.add_argument('--load_from_opt_file', action='store_true')
+        parser.add_argument('--cache_filelist_write', action='store_true',
+                            help='write the recursive file listing to a '
+                                 'files.list cache next to the data')
+        parser.add_argument('--cache_filelist_read', action='store_true',
+                            help='read the files.list cache if present')
+        parser.add_argument('--display_winsize', type=int, default=400,
+                            help='accepted for script compatibility '
+                                 '(reference base_options.py:51); unused')
 
         # generator
         parser.add_argument('--netG', type=str, default='deepfillc2')
@@ -86,7 +94,10 @@ class BaseOptions:
                             help="conv/matmul precision; 'highest' for "
                                  "checkpoint parity, 'default' for speed")
         parser.add_argument('--attention_impl', type=str, default='auto',
-                            choices=('auto', 'xla', 'pallas'))
+                            choices=('auto', 'xla', 'pallas', 'sharded'),
+                            help="'sharded' splits the attention query-"
+                                 "patch axis over all local devices "
+                                 "(single-image giant-resolution editing)")
         parser.add_argument('--data_parallel', type=int, default=0,
                             help='shard batches over N devices (0 = all '
                                  'local devices if >1)')

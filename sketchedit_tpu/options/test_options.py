@@ -18,5 +18,6 @@ class TestOptions(BaseOptions):
         parser.add_argument('--how_many', type=float, default=float("inf"))
         parser.set_defaults(preprocess_mode='scale_width_and_crop',
                             crop_size=256, load_size=256,
+                            display_winsize=256, dataset_mode='base',
                             serial_batches=True, no_flip=True, phase='test')
         return parser

@@ -103,13 +103,30 @@ def _restructure(abstract, restored):
     ('dict' object has no attribute 'mu') — pinned by
     tests/test_train_cli.py's preempt-resume test."""
     if hasattr(abstract, "_fields"):              # NamedTuple
+        missing = [f for f in abstract._fields if f not in restored]
+        if missing:
+            raise ValueError(
+                f"checkpoint state mismatch: {type(abstract).__name__} "
+                f"fields {missing} absent from the restored checkpoint "
+                f"(saved with a different optimizer/trainer config?)")
         return type(abstract)(**{
             f: _restructure(getattr(abstract, f), restored[f])
             for f in abstract._fields})
     if isinstance(abstract, dict):
+        if set(abstract) != set(restored):
+            raise ValueError(
+                "checkpoint state mismatch: expected keys "
+                f"{sorted(abstract)} vs restored {sorted(restored)}")
         return {k: _restructure(v, restored[k])
                 for k, v in abstract.items()}
     if isinstance(abstract, (list, tuple)):
+        # zip would silently truncate (e.g. an optax chain changed between
+        # save and resume), yielding a malformed state — fail loudly
+        if len(abstract) != len(restored):
+            raise ValueError(
+                f"checkpoint state mismatch: expected {len(abstract)} "
+                f"entries, restored {len(restored)} (optimizer chain "
+                f"changed between save and resume?)")
         return type(abstract)(
             _restructure(a, r) for a, r in zip(abstract, restored))
     return jnp.asarray(restored, dtype=abstract.dtype)

@@ -54,6 +54,19 @@ def enable_persistent_cache():
 
 
 def config_from_opt(opt) -> EditLine2Config:
+    impl = getattr(opt, "attention_impl", "auto")
+    attention_mesh = None
+    if impl == "sharded":
+        # patch-axis mesh over all local devices (SURVEY §5 long-context
+        # analog). On a single device this degenerates to a 1-shard
+        # shard_map — correct but pointless, so fall back to 'auto'.
+        from sketchedit_tpu.parallel.sharded_attention import patch_mesh
+        if len(jax.devices()) > 1:
+            attention_mesh = patch_mesh()
+        else:
+            print("WARNING: --attention_impl sharded needs >1 device; "
+                  "falling back to 'auto'")
+            impl = "auto"
     return EditLine2Config(
         netg=DeepFillConfig(
             use_cam=getattr(opt, "use_cam", True),
@@ -61,7 +74,8 @@ def config_from_opt(opt) -> EditLine2Config:
             no_mask_cc=getattr(opt, "no_mask_cc", False),
             no_mask_coarse=getattr(opt, "no_mask_coarse", False),
             joint_train_inp=getattr(opt, "joint_train_inp", True),
-            attention_impl=getattr(opt, "attention_impl", "auto"),
+            attention_impl=impl,
+            attention_mesh=attention_mesh,
         ),
         precision=(None if getattr(opt, "precision", "highest") == "default"
                    else "highest"),
@@ -125,6 +139,10 @@ def build_pipeline(opt, *, require_checkpoint: bool = False) -> EditPipeline:
 
     n_dp = getattr(opt, "data_parallel", 0)
     mesh = None
+    if config.netg.attention_mesh is not None:
+        # sharded attention owns the devices (patch axis); combining it
+        # with a batch-axis mesh would nest two meshes in one program
+        n_dp = 1
     if n_dp == 0 and len(jax.devices()) > 1:
         n_dp = len(jax.devices())
     if n_dp > 1:

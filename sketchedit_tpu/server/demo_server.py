@@ -171,7 +171,8 @@ class DemoApp:
     def handle_post(self, form: dict) -> str:
         idx = int(form.get("im_idx", ["0"])[0])
         if "changeim" in form:
-            idx = (idx + 1) % max(1, len(self.examples))
+            with self.lock:
+                idx = (idx + 1) % max(1, len(self.examples))
             return f"/?idx={idx}"
         if "mask" in form:
             filename = form["imgname"][0]
@@ -190,17 +191,23 @@ class DemoApp:
                 os.path.join(self.static_root, "images", filename))
             result_name = "result_" + maskname
             self.process_image(image, sketch, result_name)
-            self.examples.insert(0, result_name)
-            # bound the session's example list (reference demo.py:24
-            # declares max_num_examples=200); drop the oldest beyond it
-            del self.examples[MAX_NUM_EXAMPLES:]
-            self.version += 1
+            # ThreadingHTTPServer runs handlers concurrently: the example
+            # list and version counter are shared, so mutate them under
+            # the lock (process_image serializes device access with the
+            # same lock internally, so it must be taken after).
+            with self.lock:
+                self.examples.insert(0, result_name)
+                # bound the session's example list (reference demo.py:24
+                # declares max_num_examples=200); drop the oldest beyond it
+                del self.examples[MAX_NUM_EXAMPLES:]
+                self.version += 1
             return "/?idx=0"
         return f"/?idx={idx}"
 
     def render(self, idx: int = 0) -> str:
-        idx = idx % max(1, len(self.examples))
-        name = self.examples[idx] if self.examples else ""
+        with self.lock:     # snapshot against concurrent example inserts
+            idx = idx % max(1, len(self.examples))
+            name = self.examples[idx] if self.examples else ""
         path = os.path.join(self.static_root, "images", name)
         w = h = 256
         if os.path.isfile(path):     # empty list -> name "" is the dir

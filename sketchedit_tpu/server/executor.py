@@ -73,6 +73,16 @@ class BatchingExecutor:
             raise RuntimeError("executor shut down")
         fut: Future = Future()
         self._q.put((image, sketch, fut), timeout=30.0)
+        # a submit racing shutdown() can slip past the check above and
+        # enqueue after the drain loop already emptied the queue; re-check
+        # and fail the future ourselves so no caller blocks forever (the
+        # drain may also have caught it — set_exception tolerates a lost
+        # race via the done() check)
+        if self._stop.is_set() and not fut.done():
+            try:
+                fut.set_exception(RuntimeError("executor shut down"))
+            except Exception:       # drain/cancel won the race; fine
+                pass
         return fut
 
     def _collect(self):

@@ -90,6 +90,22 @@ def test_edit_roundtrip(api_server):
     assert mask.size == (64, 64)
 
 
+def test_nonsquare_edit_keeps_size(api_server):
+    """A 160x90 (16:9) request letterboxes onto the shared 256 canvas
+    (same compiled shape as every other request) and comes back at its
+    own size."""
+    rs = np.random.RandomState(1)
+    img = (rs.rand(90, 160, 3) * 255).astype(np.uint8)
+    sk = ((rs.rand(90, 160) > 0.97) * 255).astype(np.uint8)
+    status, out = _post(api_server, {"image": _b64_png(img),
+                                     "sketch": _b64_png(sk)})
+    assert status == 200
+    comp = Image.open(io.BytesIO(base64.b64decode(out["image"])))
+    mask = Image.open(io.BytesIO(base64.b64decode(out["mask"])))
+    assert comp.size == (160, 90)
+    assert mask.size == (160, 90)
+
+
 def test_client_errors_are_400(api_server):
     cases = [
         ("not json at all", False),          # JSONDecodeError

@@ -66,6 +66,49 @@ def test_post_mask_roundtrip(app):
     assert len(masks) == 1
 
 
+def test_concurrent_posts_keep_examples_consistent(app):
+    """ThreadingHTTPServer runs handlers concurrently: hammer handle_post
+    (example-list insert + version bump) and render from many threads;
+    the list must stay bounded/consistent and no thread may crash
+    (pins the lock around the shared example list)."""
+    import threading
+
+    sk = Image.new("RGBA", (48, 64), (0, 0, 0, 0))
+    sk.putpixel((10, 10), (0, 0, 255, 255))
+    buf = io.BytesIO()
+    sk.save(buf, format="PNG")
+    data = "data:image/png;base64," + base64.b64encode(
+        buf.getvalue()).decode()
+    form = {"imgname": ["example.png"], "im_idx": ["0"], "mask": [data]}
+    errors = []
+
+    def edit():
+        try:
+            for _ in range(8):
+                app.handle_post(form)
+        except Exception as e:       # noqa: BLE001 - recorded for assert
+            errors.append(e)
+
+    def browse():
+        try:
+            for i in range(64):
+                app.render(i)
+                app.handle_post({"changeim": ["1"], "im_idx": [str(i)]})
+        except Exception as e:       # noqa: BLE001
+            errors.append(e)
+
+    threads = ([threading.Thread(target=edit) for _ in range(4)]
+               + [threading.Thread(target=browse) for _ in range(4)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert len(app.examples) == 1 + 4 * 8       # example.png + every edit
+    assert app.version == 4 * 8
+    app.render(0)                               # list still renderable
+
+
 def test_example_list_capped_at_200(app):
     from sketchedit_tpu.server import demo_server
     app.examples = [f"e{i}.png" for i in range(demo_server.MAX_NUM_EXAMPLES)]
