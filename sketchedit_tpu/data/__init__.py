@@ -67,13 +67,21 @@ def get_option_setter(name: str):
     return find_dataset_using_name(name).modify_commandline_options
 
 
-def _collate(samples, batch_size):
+def _collate(samples, batch_size, compact: bool = False):
     """Stack samples; pad to batch_size with repeats of the last sample.
 
     Items using the compact protocol ('image_u8' + bool masks — see
     editimage.py) are expanded to the standard float32 batch keys here,
     once per batch in vectorized numpy (image in [-1,1], 'gt' aliasing
-    'image' since the edit dataset's target IS the input image)."""
+    'image' since the edit dataset's target IS the input image).
+
+    With compact=True the expansion is SKIPPED: the batch keeps the uint8
+    image (key renamed to 'image') and bool masks, and 'gt' is omitted
+    (the trainer aliases it to 'image' on device). Measured on the 1-core
+    host at 256^2 b16, the f32 expansion costs 2.5 ms/item — a quarter of
+    the whole loader budget — and the compact batch also ships ~6x fewer
+    bytes host->device; trainer.train_step expands on device where the
+    casts fuse into the first consumer."""
     n = len(samples)
     batch = {}
     for key in samples[0]:
@@ -81,15 +89,18 @@ def _collate(samples, batch_size):
         if isinstance(vals[0], np.ndarray):
             vals = vals + [vals[-1]] * (batch_size - n)
             stacked = np.stack(vals)
-            if stacked.dtype == bool:
+            if stacked.dtype == bool and not compact:
                 stacked = stacked.astype(np.float32)
             batch[key] = stacked
         else:
             batch[key] = list(vals)
     if 'image_u8' in batch:
-        img = batch.pop('image_u8').astype(np.float32) / 127.5 - 1.0
-        batch['image'] = img
-        batch['gt'] = img
+        if compact:
+            batch['image'] = batch.pop('image_u8')
+        else:
+            img = batch.pop('image_u8').astype(np.float32) / 127.5 - 1.0
+            batch['image'] = img
+            batch['gt'] = img
     batch['valid'] = n
     return batch
 
@@ -126,13 +137,15 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 num_workers: int = 0, drop_last: bool = False, seed: int = 0):
+                 num_workers: int = 0, drop_last: bool = False, seed: int = 0,
+                 compact: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(0, num_workers)
         self.drop_last = drop_last
         self.seed = seed
+        self.compact = compact
         self._epoch = 0
         self._pool = None
 
@@ -178,7 +191,7 @@ class DataLoader:
         if self.num_workers == 0:
             for idx in self._index_batches():
                 yield _collate([self.dataset[i] for i in idx],
-                               self.batch_size)
+                               self.batch_size, self.compact)
             return
 
         import os
@@ -197,9 +210,9 @@ class DataLoader:
             for nxt in batches:
                 current = inflight.pop(0)
                 inflight.append(pool.map(self.dataset.__getitem__, nxt))
-                yield _collate(list(current), self.batch_size)
+                yield _collate(list(current), self.batch_size, self.compact)
             for current in inflight:
-                yield _collate(list(current), self.batch_size)
+                yield _collate(list(current), self.batch_size, self.compact)
 
     def _iter_processes(self):
         pool = self._process_pool()
@@ -216,7 +229,7 @@ class DataLoader:
 
         def gather(futs):
             items = [s for f in futs for s in f.result()]
-            return _collate(items, self.batch_size)
+            return _collate(items, self.batch_size, self.compact)
 
         for idx in itertools.islice(batches, PREFETCH):
             inflight.append(submit(idx))
@@ -240,6 +253,9 @@ def create_dataloader(opt):
         shuffle=not opt.serial_batches,
         num_workers=int(opt.nThreads),
         drop_last=opt.isTrain,
+        # training consumes batches on device, where the trainer expands
+        # the compact protocol itself (train_step's device-side cast)
+        compact=bool(getattr(opt, 'isTrain', False)),
     )
 
 

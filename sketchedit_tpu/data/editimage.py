@@ -68,7 +68,7 @@ class EditImageDataset:
     def _edges(self, img_u8: np.ndarray) -> np.ndarray:
         gray = cv2.cvtColor(img_u8, cv2.COLOR_RGB2GRAY)
         e = cv2.Canny(gray, self.opt.canny_low, self.opt.canny_high)
-        return (e > 0).astype(np.float32)[:, :, None]
+        return (e > 0)[:, :, None]          # bool (compact protocol)
 
     def __getitem__(self, index):
         img = Image.open(self.paths[index]).convert('RGB')
@@ -81,20 +81,21 @@ class EditImageDataset:
         region = external_mask(
             self.mask_creator, h, w,
             use_object_masks=not getattr(self.opt, 'not_om', False))
-        line = edgegt * region[:, :, None]
+        line = edgegt & (region > 0.5)[:, :, None]
 
         # --cjit: photometric-only, after edge extraction (edges describe
         # the un-jittered structure; a jittered binary map would be corrupt)
-        img = color_jitter(img, params.jitter)
+        img_j = color_jitter(img, params.jitter)
+        img_out = img_u8 if img_j is img else np.asarray(img_j, np.uint8)
 
         # Compact item protocol: uint8 image + bool masks, no duplicated
         # 'gt' — ~6x fewer bytes per item than float32 (2.56MB -> 0.44MB at
         # 256^2), which is what makes process workers and the collate path
         # cheap. data._collate expands to the standard float32 batch keys.
         return {
-            'image_u8': np.asarray(img, dtype=np.uint8),
-            'mask': line.astype(bool),                    # partial sketch
-            'edgegt': edgegt.astype(bool),                # full edge map
+            'image_u8': img_out,
+            'mask': line,                                 # partial sketch
+            'edgegt': edgegt,                             # full edge map
             'random_mask': external_mask(
                 self.mask_creator, h, w,
                 use_object_masks=not getattr(self.opt, 'not_om', False)

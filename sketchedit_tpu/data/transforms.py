@@ -84,7 +84,12 @@ def apply_transform(opt, img: Image.Image, params: TransformParams, *,
                     method=Image.BICUBIC, is_train: bool | None = None):
     mode = opt.preprocess_mode
     if 'resize' in mode:
-        img = img.resize((opt.load_size, opt.load_size), method)
+        # identity resize is exact under any PIL filter (the sample grid
+        # aligns with pixel centers) — skip it: ~1.4ms/item at 256^2,
+        # which matters for feeding the device from the 1-core host when
+        # the data is staged at load_size already
+        if img.size != (opt.load_size, opt.load_size):
+            img = img.resize((opt.load_size, opt.load_size), method)
     elif 'scale_width' in mode:
         img = _scale_width(img, opt.load_size, method)
     elif 'scale_shortside' in mode:

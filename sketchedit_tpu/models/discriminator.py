@@ -120,12 +120,19 @@ def init_multiscale_params(key, *, num_d: int = 2, ndf: int = 64,
 
 
 def _downsample2(x):
-    """3x3 stride-2 avg pool, count-includes-pad (SPADE's nn.AvgPool2d(3,
-    2, padding=1, count_include_pad=False) approximated with edge pad)."""
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    """SPADE's nn.AvgPool2d(3, 2, padding=1, count_include_pad=False),
+    exactly: zero-pad, 3x3/stride-2 window sum, divide by the per-position
+    VALID-element count. The count map is a pool over ones — shape-static,
+    so XLA constant-folds it (pinned vs a torch oracle in
+    tests/test_train.py)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = jax.lax.reduce_window(xp, 0.0, jax.lax.add, (1, 3, 3, 1),
                                 (1, 2, 2, 1), "VALID")
-    return out / 9.0
+    ones = jnp.pad(jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype),
+                   ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cnt = jax.lax.reduce_window(ones, 0.0, jax.lax.add, (1, 3, 3, 1),
+                                (1, 2, 2, 1), "VALID")
+    return out / cnt
 
 
 def _apply_multiscale(params, image, line, cc, *, precision=None,

@@ -35,6 +35,12 @@ class TrainOptions(BaseOptions):
         parser.add_argument('--lambda_vgg', type=float, default=10.0)
         parser.add_argument('--no_gan_loss', action='store_true')
         parser.add_argument('--no_vgg_loss', action='store_true')
+        parser.add_argument('--vgg_imagenet_norm', type=int, default=1,
+                            choices=(0, 1),
+                            help='1 (default): remap [-1,1] to ImageNet '
+                                 'normalization before VGG19; 0: SPADE-'
+                                 'lineage behavior (feed [-1,1] straight '
+                                 'in)')
         parser.add_argument('--no_ganFeat_loss', action='store_true',
                             default=True)
         parser.add_argument('--filt_maskim', action='store_true')

@@ -87,16 +87,21 @@ def load_vgg_params(path: str | None = None):
     return params
 
 
-def vgg_features(params, x):
+def vgg_features(params, x, imagenet_norm: bool = True):
     """x in [-1,1] NHWC -> list of feature maps at the 5 standard slices.
 
-    Deliberate delta vs SPADE's VGGLoss (which feeds [-1,1] straight into
-    VGG19): we remap to the ImageNet normalization the network was trained
-    with — the perceptual features are only meaningful there. tests/
-    test_vgg.py pins the whole stack against a torch oracle either way."""
-    mean = jnp.asarray([0.485, 0.456, 0.406])
-    std = jnp.asarray([0.229, 0.224, 0.225])
-    h = ((x + 1.0) / 2.0 - mean) / std
+    Default is a deliberate delta vs SPADE's VGGLoss (which feeds [-1,1]
+    straight into VGG19): we remap to the ImageNet normalization the
+    network was trained with — the perceptual features are only
+    meaningful there. Pass imagenet_norm=False (--vgg_imagenet_norm 0)
+    for the lineage-exact [-1,1] feeding. tests/test_vgg.py pins both
+    paths against a torch oracle."""
+    if imagenet_norm:
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        h = ((x + 1.0) / 2.0 - mean) / std
+    else:
+        h = x
     feats = []
     layer_idx = 0        # torchvision .features index
     conv_i = 0
@@ -116,8 +121,8 @@ def vgg_features(params, x):
     return feats
 
 
-def vgg_loss(vgg_params, x, y):
-    fx = vgg_features(vgg_params, x)
-    fy = vgg_features(vgg_params, jax.lax.stop_gradient(y))
+def vgg_loss(vgg_params, x, y, imagenet_norm: bool = True):
+    fx = vgg_features(vgg_params, x, imagenet_norm)
+    fy = vgg_features(vgg_params, jax.lax.stop_gradient(y), imagenet_norm)
     return sum(w * l1_loss(a, jax.lax.stop_gradient(b))
                for w, a, b in zip(_VGG_WEIGHTS, fx, fy))

@@ -40,6 +40,7 @@ class TrainConfig:
     lambda_vgg: float = 10.0
     no_gan_loss: bool = False
     no_vgg_loss: bool = True          # enable when VGG weights are provided
+    vgg_imagenet_norm: bool = True    # False = SPADE-lineage [-1,1] feed
     filt_maskim: bool = False
     no_detach: bool = False
     update_part: str = "all"
@@ -275,8 +276,9 @@ def g_image_loss(d_params, gen, batch, cfg: TrainConfig, vgg_params=None,
 
     if (not cfg.train_mask_only and not cfg.no_vgg_loss
             and vgg_params is not None and is_real_im):
-        G["VGG"] = losses.vgg_loss(vgg_params, out_ims["fake"],
-                                   real) * cfg.lambda_vgg
+        G["VGG"] = losses.vgg_loss(
+            vgg_params, out_ims["fake"], real,
+            imagenet_norm=cfg.vgg_imagenet_norm) * cfg.lambda_vgg
 
     l1c = 0.0
     if not cfg.train_mask_only and is_real_im:
@@ -312,9 +314,35 @@ def d_loss_fn(d_params, gen_params, batch, flag, cfg: TrainConfig):
     return d_loss_from_gen(d_params, gen, batch, cfg)
 
 
+def decompress_batch(batch):
+    """Expand a compact-protocol batch (data._collate(compact=True):
+    uint8 'image' in [0,255], bool masks, 'gt' omitted) to the canonical
+    float32 keys ON DEVICE. The casts fuse into the first consumer under
+    XLA, the host ships ~6x fewer bytes, and the loader skips its
+    measured-2.5ms/item host-side f32 expansion. Float batches pass
+    through unchanged, so every existing caller keeps working."""
+    out = dict(batch)
+    img = batch.get("image")
+    if img is not None and img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 127.5 - 1.0
+        out["image"] = img
+        if "gt" not in batch:
+            out["gt"] = img          # the edit target IS the input image
+    gt = out.get("gt")
+    if gt is not None and gt.dtype == jnp.uint8:
+        out["gt"] = gt.astype(jnp.float32) / 127.5 - 1.0
+    for k in ("mask", "edgegt", "random_mask", "random_mask2"):
+        v = out.get(k)
+        if v is not None and v.dtype == jnp.bool_:
+            out[k] = v.astype(jnp.float32)
+    return out
+
+
 def train_step(state, batch, key, cfg: TrainConfig, vgg_params=None):
     """One jitted G+D step. batch keys: image, gt, mask (sketch), edgegt,
-    random_mask, random_mask2 — all NHWC float32."""
+    random_mask, random_mask2 — NHWC float32, or the compact protocol
+    (uint8/bool, expanded on device by decompress_batch)."""
+    batch = decompress_batch(batch)
     params = state["params"]
     # The reference draws random.randint(0,2) independently inside each
     # generate_fake call, so the G and D updates of one step see independent

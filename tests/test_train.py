@@ -169,6 +169,23 @@ def test_train_step_multiscale_discriminator():
         assert np.abs(w1 - w0).max() > 0, scale
 
 
+def test_downsample2_matches_torch_avgpool():
+    """The multiscale-D downsample must be exactly SPADE's
+    nn.AvgPool2d(3, 2, padding=1, count_include_pad=False) — border
+    positions divide by the VALID count (4 or 6), not 9."""
+    torch = pytest.importorskip("torch")
+    from sketchedit_tpu.models.discriminator import _downsample2
+
+    rs = np.random.RandomState(0)
+    for h, w in ((8, 8), (9, 7), (5, 5)):
+        x = rs.randn(2, h, w, 3).astype(np.float32)
+        want = torch.nn.functional.avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), 3, 2, padding=1,
+            count_include_pad=False).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(_downsample2(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_multiscale_logit_shapes_and_gan_loss_list():
     from sketchedit_tpu.models import discriminator as D
     from sketchedit_tpu.train import losses

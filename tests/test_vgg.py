@@ -106,6 +106,27 @@ def test_vgg_features_parity(vgg_fixture):
         np.testing.assert_allclose(np.asarray(g), wn, rtol=1e-3, atol=tol)
 
 
+def test_vgg_features_lineage_norm_parity(vgg_fixture):
+    """--vgg_imagenet_norm 0: the SPADE-lineage behavior feeds [-1,1]
+    straight into VGG19 (SPADE models/networks/loss.py VGGLoss); pinned
+    vs the same torch oracle without the ImageNet remap."""
+    feats, params = vgg_fixture
+    rs = np.random.RandomState(2)
+    x = rs.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    got = losses.vgg_features(params, jnp.asarray(x), imagenet_norm=False)
+    with torch.no_grad():
+        h = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = []
+        for idx, m in enumerate(feats, start=1):
+            h = m(h)
+            if idx in losses._VGG_SLICES:
+                want.append(h)
+    for g, w in zip(got, want):
+        wn = w.numpy().transpose(0, 2, 3, 1)
+        tol = 1e-4 * max(1.0, float(np.abs(wn).max()))
+        np.testing.assert_allclose(np.asarray(g), wn, rtol=1e-3, atol=tol)
+
+
 def test_vgg_loss_parity(vgg_fixture):
     feats, params = vgg_fixture
     rs = np.random.RandomState(1)

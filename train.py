@@ -53,6 +53,7 @@ def main():
         lambda_l1_mask=opt.lambda_l1_mask, lambda_vgg=opt.lambda_vgg,
         no_gan_loss=opt.no_gan_loss,
         no_vgg_loss=opt.no_vgg_loss or vgg_params is None,
+        vgg_imagenet_norm=bool(opt.vgg_imagenet_norm),
         precision=(None if opt.precision == "default" else opt.precision),
         init_type=opt.init_type, init_gain=opt.init_variance,
         filt_maskim=opt.filt_maskim, no_detach=opt.no_detach,
