@@ -44,10 +44,15 @@ def run_train(args, workdir, extra, secs, tag):
            "--print_freq", str(args.batch * args.print_iters),
            "--save_epoch_freq", "100000",
            "--save_latest_freq", "10000000"] + extra
+    # unbuffered child: train.py's prints must reach this pipe line-by-
+    # line (block-buffered stdout would defer the first loss line ~8KB)
+    env = {**os.environ, "PYTHONUNBUFFERED": "1"}
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, cwd=REPO)
+                            stderr=subprocess.STDOUT, text=True, cwd=REPO,
+                            env=env)
     losses, resumed_step, t0 = [], None, None
     termed = False
+    hard_deadline = time.time() + secs + 900     # compile + run headroom
     for line in proc.stdout:
         line = line.rstrip()
         m = LOSS_RE.search(line)
@@ -61,7 +66,9 @@ def run_train(args, workdir, extra, secs, tag):
         if "resumed full train state at step" in line:
             resumed_step = int(line.rsplit(" ", 1)[1])
             print(f"[{tag}] {line}", flush=True)
-        if t0 and time.time() - t0 > secs and not termed:
+        timed_out = ((t0 and time.time() - t0 > secs)
+                     or time.time() > hard_deadline)
+        if timed_out and not termed:
             print(f"[{tag}] sending SIGTERM", flush=True)
             proc.send_signal(signal.SIGTERM)
             termed = True

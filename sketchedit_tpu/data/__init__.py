@@ -8,7 +8,8 @@ padded and flagged via 'valid').
 
 Workers: one background prefetch thread by default (decode/augment is
 numpy+PIL+cv2 — measured, threads do NOT scale past one because the numpy
-glue holds the GIL: 1 thread 164 img/s at 256^2, 16 threads 117).
+glue holds the GIL; r3 measured capacity 221 img/s at 256^2 / 26.5 at
+512^2 with compact collate, identity-resize skip and u8 mask rasters).
 `num_workers > 1` on a multi-core host uses a persistent SPAWNED process
 pool — spawn, not fork, because forking a process that initialized the
 tunneled-TPU JAX client wedges the device; the dataset modules import no
@@ -18,7 +19,11 @@ only adds cost when every worker time-slices one core). Each process-
 worker item is reseeded deterministically from (seed, epoch, index),
 making augmentation draws independent of worker count and schedule.
 Items travel in the compact protocol (uint8 image + bool masks, ~6x
-fewer bytes); _collate expands to float32 once per batch.
+fewer bytes); _collate expands to float32 once per batch — or, for
+training (compact=True), not at all: the trainer expands on device and
+train.py ships each batch as ONE packed uint8 blob
+(data/packed_transfer.py) because the tunneled runtime charges a large
+fixed cost per host->device transfer.
 """
 
 from __future__ import annotations

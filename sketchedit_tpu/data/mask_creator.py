@@ -46,7 +46,11 @@ class MaskCreator:
         max_angle = np.pi
         max_brush_width = max(1, int(max_length * 0.4))
         min_brush_width = max(1, int(max_length * 0.1))
-        mask = np.zeros((image_height, image_width), np.float64)
+        # uint8 raster canvas: cv2 draws the identical geometry it would
+        # on the reference's float64 canvas, but the flip copies and the
+        # callers' unions are ~8x cheaper (this is a loader hot path —
+        # 3 external_mask calls per training item)
+        mask = np.zeros((image_height, image_width), np.uint8)
         for _ in range(int(rng.integers(1, max_mask + 1))):
             num_vertex = int(rng.integers(1, max_vertex + 1))
             sx = int(rng.integers(0, image_width))
@@ -74,7 +78,7 @@ class MaskCreator:
     def rectangle_mask(self, image_height=256, image_width=256,
                        min_hole_size=64, max_hole_size=128):
         rng = self.rng
-        mask = np.zeros((image_height, image_width))
+        mask = np.zeros((image_height, image_width), np.uint8)
         hole = int(rng.integers(min_hole_size, max_hole_size + 1))
         hole = min(int(image_width * 0.8), int(image_height * 0.8), hole)
         x = int(rng.integers(0, image_width - hole))

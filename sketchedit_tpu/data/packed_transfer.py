@@ -1,0 +1,55 @@
+"""Single-blob host->device batch transfer for training.
+
+The tunneled TPU runtime's host->device path has a large fixed cost per
+transfer (~45ms) on top of ~40MB/s bandwidth, and device compute does not
+overlap a transfer issued for the SAME dispatch. Measured at 256^2 b16
+(bf16 step = 124ms): shipping the 6 batch arrays separately runs the loop
+at 50-54 img/s; packing the whole batch into ONE uint8 blob and uploading
+the next batch before dispatching the current step reaches 118 img/s
+against the 129 img/s resident-batch ceiling.
+
+Host side: image bytes + np.packbits of the four bool masks (8 mask
+pixels/byte) concatenated into one (B, N) uint8 array.
+Device side: slicing + bit-shifts, fused by XLA into the consumers.
+trainer.decompress_batch then applies the standard u8->[-1,1] expansion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+MASK_KEYS = ("mask", "edgegt", "random_mask", "random_mask2")
+
+
+def packable(batch) -> bool:
+    """True for a compact-protocol training batch (uint8 image + bool
+    masks, data._collate(compact=True))."""
+    img = batch.get("image")
+    return (isinstance(img, np.ndarray) and img.dtype == np.uint8
+            and img.ndim == 4
+            and all(isinstance(batch.get(k), np.ndarray)
+                    and batch[k].dtype == bool for k in MASK_KEYS))
+
+
+def pack_batch(batch) -> np.ndarray:
+    """Compact batch dict -> one (B, 3*H*W + H*W/2) uint8 blob."""
+    img = batch["image"]
+    B, H, W, _ = img.shape
+    masks = np.stack([batch[k][..., 0] for k in MASK_KEYS], axis=-1)
+    packed = np.packbits(masks.reshape(B, -1), axis=1)   # 8 bits/byte
+    return np.concatenate([img.reshape(B, -1), packed], axis=1)
+
+
+def unpack_batch(blob, h: int, w: int) -> dict:
+    """Device-side inverse of pack_batch (jittable; h/w static)."""
+    B = blob.shape[0]
+    img = blob[:, :h * w * 3].reshape(B, h, w, 3)
+    pk = blob[:, h * w * 3:]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)      # big bitorder
+    bits = (pk[:, :, None] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(B, h, w, len(MASK_KEYS))
+    out = {"image": img}
+    for i, k in enumerate(MASK_KEYS):
+        out[k] = bits[..., i:i + 1]
+    return out

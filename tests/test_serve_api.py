@@ -61,11 +61,21 @@ def api_server(tmp_path_factory):
         env=ENV, cwd=REPO)
     try:
         deadline = time.time() + 420
+        seen, warmed = [], False
         for line in proc.stdout:
+            seen.append(line)
             if "warmup done" in line:
+                warmed = True
                 break
-            if time.time() > deadline or proc.poll() is not None:
-                pytest.fail(f"server failed to warm up: {line!r}")
+            if time.time() > deadline:
+                pytest.fail("server failed to warm up in time: "
+                            + "".join(seen[-20:]))
+        if not warmed:
+            # stdout EOF = the process died before warm-up; without this
+            # check the tests would run against a dead server and report
+            # a bare ConnectionRefusedError instead of the real crash
+            pytest.fail("server exited before warmup (rc="
+                        f"{proc.poll()}): " + "".join(seen[-20:]))
         # keep draining stdout: later compile-cache loads emit kilobytes
         # of cpu_aot warnings; a full pipe would block the server
         import threading

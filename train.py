@@ -103,6 +103,39 @@ def main():
         lambda st, b, k: train_step(st, b, k, cfg, vgg_params),
         donate_argnums=(0,))
 
+    # Packed single-blob transfer (data/packed_transfer.py): the tunneled
+    # runtime charges ~45ms fixed per host->device transfer, so compact
+    # batches ship as ONE uint8 blob, unpacked on device inside the step.
+    from sketchedit_tpu.data.packed_transfer import (
+        pack_batch, packable, unpack_batch)
+    packed_step_cache = {}
+
+    def packed_step_fn(hw):
+        if hw not in packed_step_cache:
+            packed_step_cache[hw] = jax.jit(
+                lambda st, blob, k: train_step(
+                    st, unpack_batch(blob, *hw), k, cfg, vgg_params),
+                donate_argnums=(0,))
+        return packed_step_cache[hw]
+
+    def upload(batch):
+        """Host batch -> (device args, step callable). Upload is async on
+        this runtime (asarray returns in ~20ms); calling it one batch
+        ahead overlaps the transfer with the in-flight step."""
+        if packable(batch):
+            hw = batch["image"].shape[1:3]
+            blob = jnp.asarray(pack_batch(batch))
+            if mesh is not None:
+                blob = shard_batch(mesh, blob)
+            return blob, packed_step_fn(hw)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                        if isinstance(v, np.ndarray)}
+        if mesh is not None:
+            device_batch = dict(zip(
+                device_batch,
+                shard_batch(mesh, *device_batch.values())))
+        return device_batch, step_fn
+
     iter_counter = IterationCounter(opt, len(dataloader.dataset))
     key = jax.random.PRNGKey(opt.niter)
     if int(state["step"]):
@@ -142,15 +175,18 @@ def main():
 
     for epoch in iter_counter.training_epochs():
         iter_counter.record_epoch_start(epoch)
-        for batch in dataloader:
+        batch_it = iter(dataloader)
+        nxt = next(batch_it, None)
+        staged = upload(nxt) if nxt is not None else None
+        while staged is not None:
+            device_batch, fn = staged
+            # stage the NEXT batch before dispatching this step: the
+            # upload's DMA overlaps the in-flight device step (measured
+            # 50 -> 118 img/s on real data at 256^2 b16)
+            nxt = next(batch_it, None)
+            staged = upload(nxt) if nxt is not None else None
             key, sub = jax.random.split(key)
-            device_batch = {k: jnp.asarray(v) for k, v in batch.items()
-                            if isinstance(v, np.ndarray)}
-            if mesh is not None:
-                device_batch = dict(zip(
-                    device_batch,
-                    shard_batch(mesh, *device_batch.values())))
-            state, metrics = step_fn(state, device_batch, sub)
+            state, metrics = fn(state, device_batch, sub)
             iter_counter.record_one_iteration()
             _maybe_stop()
             if iter_counter.needs_printing():
