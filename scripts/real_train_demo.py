@@ -50,10 +50,18 @@ def run_train(args, workdir, extra, secs, tag):
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, cwd=REPO,
                             env=env)
+    sidecar = open(os.path.join(workdir, f"{tag}_full.log"), "w")
     losses, resumed_step, t0 = [], None, None
     termed = False
-    hard_deadline = time.time() + secs + 900     # compile + run headroom
+    # a fresh remote compile can take 15+ min on this runtime; the clock
+    # starts at the first steady loss line. Never SIGTERM right after the
+    # first line: the persistent-cache write of the freshly-compiled
+    # executable (~90MB) is async and dying kills it, forcing the next
+    # leg to recompile (observed live).
+    hard_deadline = time.time() + secs + 1800
     for line in proc.stdout:
+        sidecar.write(line)
+        sidecar.flush()
         line = line.rstrip()
         m = LOSS_RE.search(line)
         if m:
@@ -66,13 +74,14 @@ def run_train(args, workdir, extra, secs, tag):
         if "resumed full train state at step" in line:
             resumed_step = int(line.rsplit(" ", 1)[1])
             print(f"[{tag}] {line}", flush=True)
-        timed_out = ((t0 and time.time() - t0 > secs)
+        timed_out = ((t0 and time.time() - t0 > max(secs, 60.0))
                      or time.time() > hard_deadline)
         if timed_out and not termed:
             print(f"[{tag}] sending SIGTERM", flush=True)
             proc.send_signal(signal.SIGTERM)
             termed = True
     rc = proc.wait(timeout=600)
+    sidecar.close()
     return losses, resumed_step, rc
 
 

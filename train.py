@@ -167,8 +167,14 @@ def main():
         ckpt.save_pipeline(state["params"], "latest", opt)
         ckpt.save_train_state(jax.device_get(state), opt)
         iter_counter.record_current_iter()
-        print(f"checkpointed on signal {stop_signum}; exiting")
-        raise SystemExit(128 + stop_signum)
+        print(f"checkpointed on signal {stop_signum}; exiting", flush=True)
+        # hard exit: the checkpoint is durably on disk and nothing else
+        # needs flushing. Interpreter teardown with a live tunneled-TPU
+        # client (in-flight uploads from the batch-ahead pipeline) was
+        # observed to hang indefinitely in the PJRT client's futex wait —
+        # a preemption handler must terminate deterministically.
+        sys.stderr.flush()
+        os._exit(128 + stop_signum)
 
     signal.signal(signal.SIGTERM, _request_stop)
     signal.signal(signal.SIGINT, _request_stop)
