@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sketchedit_tpu.ops.attention import (
     extract_patches, fold_patches, patch_valid_ratio)
@@ -29,7 +29,17 @@ from sketchedit_tpu.ops.attention import (
 PATCH_AXIS = "patch"
 
 
-def _local_attend(Q_local, K, V, keep, softmax_scale, precision):
+def _local_attend(Q_local, K, V, keep, softmax_scale, precision, kernel):
+    if kernel == "pallas":
+        # stream the local shard through the fused Pallas kernel: the
+        # (n_local, P) similarity tile never exists in HBM on any chip —
+        # the composition that makes 2048^2-class editing feasible
+        # (P ~ 65k patches; the dense per-shard sim alone would be
+        # n_local x P x 4B per chip)
+        from sketchedit_tpu.ops.attention_pallas import (
+            attention_core_pallas)
+        return attention_core_pallas(Q_local, K, V, keep,
+                                     softmax_scale=softmax_scale)
     sim = jnp.einsum("bnd,bpd->bnp", Q_local, K, precision=precision)
     logits = sim * keep[:, None, :] * softmax_scale
     w = jax.nn.softmax(logits, axis=-1)
@@ -39,10 +49,16 @@ def _local_attend(Q_local, K, V, keep, softmax_scale, precision):
 def contextual_attention_sharded(f, b, mask, mesh: Mesh, *,
                                  patch_size: int = 4, stride: int = 2,
                                  softmax_scale: float = 10.0,
-                                 th: float = 0.1, precision=None):
+                                 th: float = 0.1, precision=None,
+                                 kernel: str = "auto"):
     """Same semantics as ops.attention.contextual_attention, query-patch
     axis sharded over `mesh`'s '{PATCH_AXIS}' axis. P must divide evenly
-    by the axis size (pad the image so the patch grid does)."""
+    by the axis size (pad the image so the patch grid does).
+
+    kernel: 'dense' computes the per-shard attention as einsums (the
+    local similarity block materializes); 'pallas' streams each shard
+    through the fused kernel (ops/attention_pallas.py) so the similarity
+    never exists in HBM on ANY chip; 'auto' picks pallas on TPU."""
     B, H, W, C = b.shape
     k, s = patch_size, stride
     in_dtype = f.dtype
@@ -61,6 +77,8 @@ def contextual_attention_sharded(f, b, mask, mesh: Mesh, *,
     valid = 1.0 - mask.astype(jnp.float32)
     keep = (patch_valid_ratio(valid, k, s) > th).astype(jnp.float32)
 
+    if kernel == "auto":
+        kernel = "pallas" if jax.default_backend() == "tpu" else "dense"
     n_shards = mesh.shape[PATCH_AXIS]
     # pad the QUERY axis to the mesh size (padded rows attend to the real
     # K/V bank and are sliced off before the fold — always exact)
@@ -69,10 +87,14 @@ def contextual_attention_sharded(f, b, mask, mesh: Mesh, *,
 
     attend = shard_map(
         partial(_local_attend, softmax_scale=softmax_scale,
-                precision=precision),
+                precision=precision, kernel=kernel),
         mesh=mesh,
         in_specs=(P(None, PATCH_AXIS, None), P(), P(), P()),
         out_specs=P(None, PATCH_AXIS, None),
+        # pallas_call can't annotate varying-across-mesh on its outputs;
+        # the body is fully local either way (no collectives), so VMA
+        # checking buys nothing here
+        check_vma=False,
     )
     out = attend(Qp, K, V, keep)[:, :Pn]
     folded = fold_patches(out.reshape(B, nh, nw, k, k, C), (H, W), s)

@@ -41,6 +41,34 @@ def test_sharded_attention_matches_dense():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_attention_pallas_kernel_matches_dense():
+    """shard_map + the fused Pallas kernel per shard (the multi-chip
+    high-res composition: similarity never in HBM on any chip) must match
+    the dense per-shard path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from sketchedit_tpu.ops.attention import contextual_attention
+    from sketchedit_tpu.parallel.sharded_attention import (
+        contextual_attention_sharded, patch_mesh)
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    H, C = 18, 6
+    rs = np.random.RandomState(1)
+    f = jnp.asarray(rs.randn(2, H, H, C).astype(np.float32))
+    mask = jnp.asarray((rs.rand(2, H, H, 1) > 0.5).astype(np.float32))
+    # interpret-mode pallas under shard_map deadlocks at 8 virtual
+    # devices on this 1-core host (measured: 2 and 4 shards run in ~2s,
+    # 8 never returns) — cap the mesh; 4 shards fully exercises the
+    # composition (padding, local kernel, unshard).
+    mesh = patch_mesh(min(4, n))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(contextual_attention_sharded(
+            f, f, mask, mesh, kernel="pallas"))
+    want = np.asarray(contextual_attention(
+        f, f, mask, precision=jax.lax.Precision.HIGHEST))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_attention_impl_sharded_flag_path():
     """--attention_impl sharded must be reachable from the CLI options
     (VERDICT r2: it existed only inside dryrun_multichip) and produce the
