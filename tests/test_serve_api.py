@@ -38,13 +38,20 @@ def _post(port, body, as_json=True):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/edit", data=data,
         headers={"Content-Type": "application/json"})
-    try:
-        # generous: under a loaded host (full-suite parallelism) a CPU
-        # edit can take minutes; 180s flaked once
-        with urllib.request.urlopen(req, timeout=540) as r:
-            return r.status, json.loads(r.read())
-    except urllib.error.HTTPError as e:
-        return e.code, None
+    # generous: under a loaded host (full-suite parallelism) a CPU edit
+    # can take minutes; 180s flaked once, and a connect-level URLError
+    # flaked once at 540s on the 1-core host — retry transport errors
+    # once (HTTPError is a real server response and is never retried)
+    for attempt in range(2):
+        try:
+            with urllib.request.urlopen(req, timeout=540) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, None
+        except urllib.error.URLError:
+            if attempt == 1:
+                raise
+            time.sleep(10)
 
 
 @pytest.fixture(scope="module")
