@@ -59,6 +59,19 @@ def run_train(args, workdir, extra, secs, tag):
     # executable (~90MB) is async and dying kills it, forcing the next
     # leg to recompile (observed live).
     hard_deadline = time.time() + secs + 1800
+    # the deadline checks below only run when the child PRINTS; a child
+    # wedged before its first output (stalled remote compile, hung tunnel
+    # upload) would block readline forever — this timer is the backstop
+    # that fires regardless of output
+    import threading
+
+    def _hard_kill():
+        if proc.poll() is None:
+            print(f"[{tag}] hard-deadline watchdog: SIGTERM", flush=True)
+            proc.send_signal(signal.SIGTERM)
+    watchdog = threading.Timer(hard_deadline - time.time(), _hard_kill)
+    watchdog.daemon = True
+    watchdog.start()
     for line in proc.stdout:
         sidecar.write(line)
         sidecar.flush()
@@ -81,6 +94,7 @@ def run_train(args, workdir, extra, secs, tag):
             proc.send_signal(signal.SIGTERM)
             termed = True
     rc = proc.wait(timeout=600)
+    watchdog.cancel()
     sidecar.close()
     return losses, resumed_step, rc
 

@@ -33,7 +33,7 @@ def packable(batch) -> bool:
 
 
 def pack_batch(batch) -> np.ndarray:
-    """Compact batch dict -> one (B, 3*H*W + H*W/2) uint8 blob."""
+    """Compact batch dict -> one (B, 3*H*W + ceil(H*W/2)) uint8 blob."""
     img = batch["image"]
     B, H, W, _ = img.shape
     masks = np.stack([batch[k][..., 0] for k in MASK_KEYS], axis=-1)
@@ -48,7 +48,11 @@ def unpack_batch(blob, h: int, w: int) -> dict:
     pk = blob[:, h * w * 3:]
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)      # big bitorder
     bits = (pk[:, :, None] >> shifts) & jnp.uint8(1)
-    bits = bits.reshape(B, h, w, len(MASK_KEYS))
+    # np.packbits pads each row to a byte boundary; drop the pad bits
+    # (present whenever h*w is odd) before the spatial reshape
+    n = h * w * len(MASK_KEYS)
+    bits = bits.reshape(B, -1)[:, :n].reshape(B, h, w, len(MASK_KEYS))
+    bits = bits.astype(jnp.bool_)   # match _collate(compact=True)'s bool
     out = {"image": img}
     for i, k in enumerate(MASK_KEYS):
         out[k] = bits[..., i:i + 1]

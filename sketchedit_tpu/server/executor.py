@@ -49,6 +49,10 @@ class BatchingExecutor:
         # dispatcher is the only consumer), so it is carried to the next batch
         self._pending = None
         self._stop = threading.Event()
+        # serializes submit's stop-check+enqueue against shutdown's
+        # stop-set: nothing can enqueue after _stop is set, so the
+        # post-join drain in shutdown() provably sees every unserved item
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -69,20 +73,19 @@ class BatchingExecutor:
         """image: (H, W, 3); sketch: (H, W, 1). All requests in flight must
         share one spatial size (the demo's /8 bucketing upstream ensures
         this); mixed sizes are dispatched in separate batches."""
-        if self._stop.is_set():
-            raise RuntimeError("executor shut down")
         fut: Future = Future()
-        self._q.put((image, sketch, fut), timeout=30.0)
-        # a submit racing shutdown() can slip past the check above and
-        # enqueue after the drain loop already emptied the queue; re-check
-        # and fail the future ourselves so no caller blocks forever (the
-        # drain may also have caught it — set_exception tolerates a lost
-        # race via the done() check)
-        if self._stop.is_set() and not fut.done():
-            try:
-                fut.set_exception(RuntimeError("executor shut down"))
-            except Exception:       # drain/cancel won the race; fine
-                pass
+        # under the lock: a submit cannot slip its item in after
+        # shutdown() set _stop, so every enqueued item is either served
+        # by the dispatcher or caught by shutdown's post-join drain.
+        # (An unlocked post-put re-check was the previous design; it
+        # could set_exception on a future the dispatcher had already
+        # pulled into a batch, poisoning the whole batch scatter with
+        # InvalidStateError.) Worst case the lock is held for the 30s
+        # full-queue timeout, which only delays shutdown, never deadlocks.
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("executor shut down")
+            self._q.put((image, sketch, fut), timeout=30.0)
         return fut
 
     def _collect(self):
@@ -132,10 +135,14 @@ class BatchingExecutor:
                                     + [items[-1][1]] * (b - n))
                 composed, mask = self.pipeline(images, sketches)
                 for i, (_, _, fut) in enumerate(items):
-                    # returns False iff the caller cancelled; afterwards the
-                    # future is RUNNING and set_result cannot race cancel()
-                    if fut.set_running_or_notify_cancel():
-                        fut.set_result((composed[i], mask[i]))
+                    try:
+                        # returns False iff the caller cancelled; afterwards
+                        # the future is RUNNING and set_result cannot race
+                        # cancel()
+                        if fut.set_running_or_notify_cancel():
+                            fut.set_result((composed[i], mask[i]))
+                    except Exception:   # already-resolved future: only its
+                        pass            # own result is lost, not the batch's
             except Exception as e:
                 for _, _, fut in items:
                     try:
@@ -145,7 +152,8 @@ class BatchingExecutor:
                         pass
 
     def shutdown(self):
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._thread.join(timeout=5)
         # fail anything still queued or parked in _pending so no client
         # blocks on a future that will never resolve
@@ -159,5 +167,8 @@ class BatchingExecutor:
             except queue.Empty:
                 break
         for _, _, fut in leftovers:
-            if not fut.done():
-                fut.set_exception(RuntimeError("executor shut down"))
+            try:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("executor shut down"))
+            except Exception:       # racing cancel(); already resolved
+                pass

@@ -35,6 +35,20 @@ def test_pack_unpack_roundtrip():
             np.asarray(out[k]), batch[k].astype(np.uint8))
 
 
+def test_pack_unpack_roundtrip_odd_pixels():
+    """np.packbits pads each row to a byte boundary; an odd H*W (e.g. a
+    255 crop) must round-trip exactly — the device unpack drops the pad
+    bits before the spatial reshape (regression: reshape size-mismatch)."""
+    rs = np.random.RandomState(7)
+    H = W = 15                              # H*W*4 = 900 bits -> 113 bytes
+    batch = _compact_batch(rs, B=2, H=H, W=W)
+    out = unpack_batch(jnp.asarray(pack_batch(batch)), H, W)
+    np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])
+    for k in MASK_KEYS:
+        assert np.asarray(out[k]).dtype == np.bool_
+        np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
+
+
 def test_packable_rejects_float_batches():
     rs = np.random.RandomState(1)
     batch = _compact_batch(rs)

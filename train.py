@@ -43,12 +43,27 @@ def main():
     # --niter_decay: epoch-denominated flags -> step-denominated schedule
     steps_per_epoch = max(1, len(dataloader.dataset) // opt.batchSize)
     vgg_params = load_vgg_params()       # loaded once, serves both uses
+    # --attention_impl sharded needs the patch mesh wired in (the CLI
+    # accepts the choice everywhere; without this the first trace hits
+    # deepfill_c2's assert after the whole setup wait). Mirrors
+    # runner.config_from_opt; mutually exclusive with the DP batch mesh
+    # (both would claim every device).
+    attention_impl, attention_mesh = opt.attention_impl, None
+    if attention_impl == "sharded":
+        if len(jax.devices()) > 1:
+            from sketchedit_tpu.parallel.sharded_attention import patch_mesh
+            attention_mesh = patch_mesh()
+        else:
+            print("WARNING: --attention_impl sharded needs >1 device; "
+                  "falling back to 'auto'")
+            attention_impl = "auto"
     cfg = TrainConfig(
         netg=DeepFillConfig(
             use_cam=opt.use_cam, pool_type=opt.pool_type,
             no_mask_cc=opt.no_mask_cc, no_mask_coarse=opt.no_mask_coarse,
             joint_train_inp=opt.joint_train_inp,
-            attention_impl=opt.attention_impl),
+            attention_impl=attention_impl,
+            attention_mesh=attention_mesh),
         gan_mode=opt.gan_mode, lambda_l1=opt.lambda_l1,
         lambda_l1_mask=opt.lambda_l1_mask, lambda_vgg=opt.lambda_vgg,
         no_gan_loss=opt.no_gan_loss,
@@ -89,7 +104,10 @@ def main():
 
     mesh = None
     n_dev = len(jax.devices())
-    if n_dev > 1 and opt.batchSize % n_dev == 0:
+    if attention_mesh is not None:
+        print(f"patch-sharded attention over {n_dev} devices "
+              "(no batch mesh)")
+    elif n_dev > 1 and opt.batchSize % n_dev == 0:
         mesh = data_parallel_mesh()
         state = replicate(mesh, state)
         print(f"data-parallel over {n_dev} devices")
@@ -124,9 +142,12 @@ def main():
         ahead overlaps the transfer with the in-flight step."""
         if packable(batch):
             hw = batch["image"].shape[1:3]
-            blob = jnp.asarray(pack_batch(batch))
-            if mesh is not None:
-                blob = shard_batch(mesh, blob)
+            # shard_batch places numpy directly: one transfer, already
+            # sharded (asarray-then-device_put would pay the ~45ms fixed
+            # transfer cost twice)
+            blob = pack_batch(batch)
+            blob = (shard_batch(mesh, blob) if mesh is not None
+                    else jnp.asarray(blob))
             return blob, packed_step_fn(hw)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()
                         if isinstance(v, np.ndarray)}
