@@ -23,6 +23,9 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sketchedit_tpu.utils.procutil import die_with_parent
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -49,7 +52,7 @@ def run_train(args, workdir, extra, secs, tag):
     env = {**os.environ, "PYTHONUNBUFFERED": "1"}
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, cwd=REPO,
-                            env=env)
+                            env=env, preexec_fn=die_with_parent)
     sidecar = open(os.path.join(workdir, f"{tag}_full.log"), "w")
     losses, resumed_step, t0 = [], None, None
     termed = False

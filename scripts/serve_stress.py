@@ -1,0 +1,154 @@
+"""Concurrent-client stress test against a live serve_api.py process:
+spawns the server, hammers /edit with N threads for a fixed duration, and
+records throughput + latency percentiles (SERVING_r3.json).
+
+This exercises the production path end to end: HTTP parse -> base64 PNG
+decode -> letterbox -> dynamic batching executor -> jitted TPU edit ->
+PNG encode response. On the 1-core dev host the PNG codec work of client
+and server shares one core with the tunnel client, so the recorded number
+is a floor for a real serving host.
+
+Usage: python scripts/serve_stress.py [--clients 32] [--secs 60]
+       [--port 19876] [--out SERVING_r3.json] [--attach]
+--attach reuses an already-running server on --port instead of spawning.
+"""
+
+import argparse
+import base64
+import io
+import json
+import os
+import statistics
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _payload(size):
+    import numpy as np
+    from PIL import Image
+    rs = np.random.RandomState(0)
+
+    def png(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    img = (rs.rand(size, size, 3) * 255).astype(np.uint8)
+    sk = ((rs.rand(size, size) > 0.97) * 255).astype(np.uint8)
+    return json.dumps({"image": png(img), "sketch": png(sk)}).encode()
+
+
+def _die_with_parent():
+    # PR_SET_PDEATHSIG: if this harness is SIGKILLed/SIGTERMed without
+    # running its finally block, the server must not linger holding the
+    # TPU (an orphaned idle server skews every later benchmark)
+    import ctypes
+    import signal as _sig
+    try:
+        ctypes.CDLL("libc.so.6").prctl(1, _sig.SIGTERM)
+    except Exception:
+        pass
+
+
+def spawn_server(port):
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve_api.py"),
+         "--name", "stress", "--checkpoints_dir", "/tmp/stress_ck",
+         "--joint_train_inp", "--use_cam", "--pool_type", "max",
+         "--dataset_mode", "base", "--port", str(port),
+         "--compute_dtype", "bfloat16", "--precision", "default"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, preexec_fn=_die_with_parent)
+    deadline = time.time() + 1800        # cold remote compiles are slow
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        if "warmup done" in line:
+            break
+        if time.time() > deadline or proc.poll() is not None:
+            raise RuntimeError("server failed to warm up")
+    threading.Thread(target=lambda: proc.stdout.read(), daemon=True).start()
+    return proc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--secs", type=float, default=60.0)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--port", type=int, default=19876)
+    ap.add_argument("--out", default=os.path.join(REPO, "SERVING_r3.json"))
+    ap.add_argument("--attach", action="store_true")
+    args = ap.parse_args()
+
+    body = _payload(args.size)
+    proc = None if args.attach else spawn_server(args.port)
+    url = f"http://127.0.0.1:{args.port}/edit"
+
+    lat, errors = [], [0]
+    lock = threading.Lock()
+    stop = time.time() + args.secs
+
+    def client():
+        while time.time() < stop:
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    r.read()
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+            except Exception:
+                with lock:
+                    errors[0] += 1
+
+    t_start = time.time()
+    threads = [threading.Thread(target=client) for _ in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t_start
+
+    try:
+        if lat:
+            lat.sort()
+            q = statistics.quantiles(lat, n=100)
+            result = {
+                "what": f"serve_api.py /edit under {args.clients} concurrent"
+                        f" clients, {args.size}x{args.size}, bf16, one v5e"
+                        " chip via the tunnel (1-core host shares PNG codec"
+                        " work between client+server: a floor, not a peak)",
+                "requests_ok": len(lat),
+                "errors": errors[0],
+                "wall_s": round(wall, 1),
+                "throughput_rps": round(len(lat) / wall, 2),
+                "latency_ms": {
+                    "p50": round(q[49] * 1000),
+                    "p90": round(q[89] * 1000),
+                    "p99": round(q[98] * 1000),
+                    "min": round(lat[0] * 1000),
+                    "max": round(lat[-1] * 1000),
+                },
+            }
+        else:
+            result = {"error": "no successful requests",
+                      "errors": errors[0]}
+        print(json.dumps(result, indent=1))
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    finally:
+        if proc is not None:
+            proc.terminate()
+            proc.wait(timeout=30)
+
+
+if __name__ == "__main__":
+    main()

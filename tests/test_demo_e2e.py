@@ -13,6 +13,8 @@ import urllib.request
 
 import numpy as np
 import pytest
+
+from sketchedit_tpu.utils.procutil import die_with_parent
 from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -42,7 +44,8 @@ def demo_server(tmp_path_factory):
          "--dataset_mode", "base", "--port", str(port),
          "--compute_dtype", "float32"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=ENV, cwd=str(work))          # static/ lives under the tmp cwd
+        env=ENV, cwd=str(work),          # static/ lives under the tmp cwd
+        preexec_fn=die_with_parent)
     try:
         deadline = time.time() + 300
         for line in proc.stdout:

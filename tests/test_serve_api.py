@@ -14,6 +14,8 @@ import urllib.request
 
 import numpy as np
 import pytest
+
+from sketchedit_tpu.utils.procutil import die_with_parent
 from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -65,7 +67,7 @@ def api_server(tmp_path_factory):
          "--port", str(port), "--max_batch", "2",
          "--compute_dtype", "float32"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=ENV, cwd=REPO)
+        env=ENV, cwd=REPO, preexec_fn=die_with_parent)
     try:
         deadline = time.time() + 420
         seen, warmed = [], False

@@ -8,6 +8,8 @@ import sys
 
 import numpy as np
 import pytest
+
+from sketchedit_tpu.utils.procutil import die_with_parent
 from PIL import Image
 
 import jax
@@ -97,7 +99,7 @@ def test_trainpy_sigterm_checkpoints_before_exit(tmp_path):
            "--save_epoch_freq", "1000", "--print_freq", "2"]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, env=env,
-                            cwd=REPO)
+                            cwd=REPO, preexec_fn=die_with_parent)
     # wait for the first training iteration line, then preempt
     deadline = time.time() + 600
     for line in proc.stdout:
