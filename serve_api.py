@@ -41,6 +41,13 @@ def main():
                                      '(aspect preserved) and outputs '
                                      'resize back to the input size')
             parser.add_argument('--max_wait_ms', type=float, default=5.0)
+            parser.add_argument('--serve_artifact', action='append',
+                                default=None, metavar='PATH',
+                                help='serve from exported .shlo artifacts '
+                                     '(scripts/export_serving_artifact.py) '
+                                     'instead of checkpoints+model code; '
+                                     'repeat for multiple batch sizes '
+                                     '(one artifact per batch bucket)')
             # serving default is the throughput config (bf16 activations,
             # backend-default MXU passes): ~1.6x fp32 on v5e, visually
             # indistinguishable output. Checkpoint-parity evaluation
@@ -55,12 +62,28 @@ def main():
     if edit_size % 8:
         raise SystemExit(f"--edit_size {edit_size} must be a multiple of 8")
 
-    from sketchedit_tpu.runner import build_pipeline
     from sketchedit_tpu.server.executor import BatchingExecutor
     from sketchedit_tpu.server.letterbox import (
         letterbox_fit, letterbox_restore)
 
-    pipeline = build_pipeline(opt)
+    if opt.serve_artifact:
+        from sketchedit_tpu.runner import (
+            enable_persistent_cache, respect_platform_env)
+        from sketchedit_tpu.server.artifact import ArtifactPipeline
+        respect_platform_env()
+        enable_persistent_cache()
+        pipeline = ArtifactPipeline(opt.serve_artifact)
+        if pipeline.size != edit_size:
+            print(f"NOTE: --edit_size {edit_size} -> {pipeline.size} "
+                  "(the artifacts' exported size)")
+            edit_size = pipeline.size
+        if pipeline.max_batch < opt.max_batch:
+            opt.max_batch = pipeline.max_batch
+        print(f"serving from {len(opt.serve_artifact)} artifact(s), "
+              f"batch buckets {pipeline.batches}, size {edit_size}")
+    else:
+        from sketchedit_tpu.runner import build_pipeline
+        pipeline = build_pipeline(opt)
     executor = BatchingExecutor(pipeline, max_batch=opt.max_batch,
                                 max_wait_ms=opt.max_wait_ms)
     print("warming batch buckets (one compile per bucket size)...")

@@ -57,6 +57,41 @@ def export_edit_artifact(params, out_path: str, *, size: int = 256,
     return meta
 
 
+class ArtifactPipeline:
+    """Executor-compatible pipeline backed by exported artifacts only —
+    the serving host needs the .shlo files, not the model code.
+
+    Each artifact is pinned to one batch size (one-compile-per-bucket,
+    like server/executor.py's buckets); a request batch pads up to the
+    smallest artifact batch that fits. `size` and `max_batch` mirror the
+    metadata so serve_api can validate its flags against the artifact.
+    """
+
+    def __init__(self, paths):
+        calls = [load_edit_artifact(p) for p in paths]
+        self.by_batch = {c.meta["batch"]: c for c in calls}
+        sizes = {c.meta["size"] for c in calls}
+        if len(sizes) != 1:
+            raise ValueError(f"artifacts disagree on size: {sizes}")
+        self.size = sizes.pop()
+        self.batches = sorted(self.by_batch)
+        self.max_batch = self.batches[-1]
+
+    def __call__(self, images, sketches):
+        n = images.shape[0]
+        b = next((s for s in self.batches if s >= n), None)
+        if b is None:
+            raise ValueError(f"batch {n} exceeds the largest artifact "
+                             f"batch {self.max_batch}")
+        if b > n:
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], b - n, axis=0)])
+            sketches = np.concatenate(
+                [sketches, np.repeat(sketches[-1:], b - n, axis=0)])
+        composed, mask = self.by_batch[b](images, sketches)
+        return np.asarray(composed)[:n], np.asarray(mask)[:n]
+
+
 def load_edit_artifact(path: str):
     """Deserialize an exported artifact -> callable
     (image_u8, sketch_u8) -> (composite_u8, mask_u8). The artifact runs

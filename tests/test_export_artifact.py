@@ -40,6 +40,77 @@ def test_export_artifact_roundtrip(tmp_path):
                                   np.asarray(want_mask))
 
 
+def test_serve_api_from_artifacts(tmp_path):
+    """serve_api --serve_artifact: the production API serves from the
+    exported programs alone (no checkpoint load, no model build)."""
+    import base64
+    import io
+    import json
+    import socket
+    import time
+    import urllib.request
+    from PIL import Image
+    from sketchedit_tpu.models import editline2
+    from sketchedit_tpu.models.editline2 import EditLine2Config
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+    from sketchedit_tpu.server.artifact import export_edit_artifact
+    from sketchedit_tpu.utils.procutil import die_with_parent
+
+    params = editline2.init_params(jax.random.PRNGKey(0))
+    config = EditLine2Config(netg=DeepFillConfig(attention_impl="xla"))
+    paths = []
+    for b in (1, 2):
+        p = str(tmp_path / f"edit_b{b}.shlo")
+        export_edit_artifact(params, p, size=32, batch=b, config=config)
+        paths.append(p)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "SKETCHEDIT_CACHE_DIR": os.path.join(REPO, ".jax_cache")}
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve_api.py"),
+         "--name", "x", "--checkpoints_dir", str(tmp_path),
+         "--dataset_mode", "base", "--port", str(port),
+         "--serve_artifact", paths[0], "--serve_artifact", paths[1],
+         "--edit_size", "32"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO, preexec_fn=die_with_parent)
+    try:
+        deadline = time.time() + 420
+        for line in proc.stdout:
+            if "warmup done" in line:
+                break
+            assert time.time() < deadline, "no warmup"
+            assert proc.poll() is None, "server died before warmup"
+        import threading
+        threading.Thread(target=lambda: proc.stdout.read(),
+                         daemon=True).start()
+
+        rs = np.random.RandomState(0)
+        img = (rs.rand(32, 32, 3) * 255).astype(np.uint8)
+        sk = ((rs.rand(32, 32) > 0.9) * 255).astype(np.uint8)
+
+        def png(a):
+            buf = io.BytesIO()
+            Image.fromarray(a).save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit",
+            data=json.dumps({"image": png(img), "sketch": png(sk)}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            out = json.loads(r.read())
+        comp = Image.open(io.BytesIO(base64.b64decode(out["image"])))
+        assert comp.size == (32, 32)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_export_cli_runs(tmp_path):
     out = str(tmp_path / "a.shlo")
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
