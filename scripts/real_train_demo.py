@@ -23,11 +23,9 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from sketchedit_tpu.utils.procutil import die_with_parent
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+from sketchedit_tpu.utils.procutil import die_with_parent
 
 LOSS_RE = re.compile(r"epoch (\d+) iter (\d+) \((\d+) ms/img\) (\{.*\})")
 

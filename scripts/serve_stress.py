@@ -44,19 +44,8 @@ def _payload(size):
     return json.dumps({"image": png(img), "sketch": png(sk)}).encode()
 
 
-def _die_with_parent():
-    # PR_SET_PDEATHSIG: if this harness is SIGKILLed/SIGTERMed without
-    # running its finally block, the server must not linger holding the
-    # TPU (an orphaned idle server skews every later benchmark)
-    import ctypes
-    import signal as _sig
-    try:
-        ctypes.CDLL("libc.so.6").prctl(1, _sig.SIGTERM)
-    except Exception:
-        pass
-
-
 def spawn_server(port):
+    from sketchedit_tpu.utils.procutil import die_with_parent
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "serve_api.py"),
          "--name", "stress", "--checkpoints_dir", "/tmp/stress_ck",
@@ -64,14 +53,26 @@ def spawn_server(port):
          "--dataset_mode", "base", "--port", str(port),
          "--compute_dtype", "bfloat16", "--precision", "default"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        cwd=REPO, preexec_fn=_die_with_parent)
+        cwd=REPO, preexec_fn=die_with_parent)
     deadline = time.time() + 1800        # cold remote compiles are slow
+    # a silent hang blocks readline, so the deadline needs a side channel:
+    # the watchdog SIGTERMs the child, which EOFs our pipe
+    watchdog = threading.Timer(
+        1800, lambda: proc.poll() is None and proc.terminate())
+    watchdog.daemon = True
+    watchdog.start()
+    warmed = False
     for line in proc.stdout:
         sys.stdout.write(line)
         if "warmup done" in line:
+            warmed = True
             break
-        if time.time() > deadline or proc.poll() is not None:
-            raise RuntimeError("server failed to warm up")
+        if time.time() > deadline:
+            break
+    watchdog.cancel()
+    if not warmed:        # EOF = the child died (or was SIGTERMed) early
+        raise RuntimeError(
+            f"server failed to warm up (rc={proc.poll()})")
     threading.Thread(target=lambda: proc.stdout.read(), daemon=True).start()
     return proc
 
@@ -118,7 +119,7 @@ def main():
     wall = time.time() - t_start
 
     try:
-        if lat:
+        if len(lat) >= 2:       # statistics.quantiles needs 2+ points
             lat.sort()
             q = statistics.quantiles(lat, n=100)
             result = {
@@ -139,8 +140,8 @@ def main():
                 },
             }
         else:
-            result = {"error": "no successful requests",
-                      "errors": errors[0]}
+            result = {"error": "too few successful requests",
+                      "requests_ok": len(lat), "errors": errors[0]}
         print(json.dumps(result, indent=1))
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)

@@ -106,7 +106,13 @@ def load_edit_artifact(path: str):
         return exported.call(image, sketch)
 
     call.exported = exported
+    # batch/size are derivable from the program itself; the .json sidecar
+    # only augments (a host that copied just the .shlo still serves)
+    img_aval = exported.in_avals[0]
+    call.meta = {"batch": int(img_aval.shape[0]),
+                 "size": int(img_aval.shape[1]),
+                 "platforms": list(exported.platforms)}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
-            call.meta = json.load(f)
+            call.meta.update(json.load(f))
     return call

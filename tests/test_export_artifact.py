@@ -32,6 +32,11 @@ def test_export_artifact_roundtrip(tmp_path):
 
     call = load_edit_artifact(path)
     assert call.meta["size"] == 32
+    # a host that copied ONLY the .shlo still serves: batch/size come
+    # from the program's own in_avals, the sidecar just augments
+    os.remove(path + ".json")
+    bare = load_edit_artifact(path)
+    assert bare.meta["batch"] == 2 and bare.meta["size"] == 32
     got_img, got_mask = call(img, sk)
     want_img, want_mask = jax.jit(
         lambda i, s: editline2.edit_u8(params, i, s, config=config))(img, sk)
@@ -79,11 +84,16 @@ def test_serve_api_from_artifacts(tmp_path):
         env=env, cwd=REPO, preexec_fn=die_with_parent)
     try:
         deadline = time.time() + 420
+        warmed, seen = False, []
         for line in proc.stdout:
+            seen.append(line)
             if "warmup done" in line:
+                warmed = True
                 break
             assert time.time() < deadline, "no warmup"
-            assert proc.poll() is None, "server died before warmup"
+        if not warmed:       # EOF = server died before warmup
+            pytest.fail(f"server died before warmup (rc={proc.poll()}): "
+                        + "".join(seen[-15:]))
         import threading
         threading.Thread(target=lambda: proc.stdout.read(),
                          daemon=True).start()
