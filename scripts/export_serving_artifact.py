@@ -33,7 +33,10 @@ def main():
     def initialize(parser):
         parser = init(parser)
         parser.add_argument("--export_size", type=int, default=256)
-        parser.add_argument("--export_batch", type=int, default=1)
+        parser.add_argument("--export_batch", type=str, default="1",
+                            help="batch size, or a comma list ('1,8,32') "
+                                 "to emit one artifact per serving bucket "
+                                 "(suffix _b{N} before the extension)")
         parser.add_argument("--export_out", type=str,
                             default="edit_artifact.shlo")
         parser.add_argument("--export_platforms", type=str, default="",
@@ -49,10 +52,17 @@ def main():
     pipe = build_pipeline(opt)
     platforms = ([p for p in opt.export_platforms.split(",") if p]
                  or None)
-    meta = export_edit_artifact(
-        pipe.params, opt.export_out, size=opt.export_size,
-        batch=opt.export_batch, config=pipe.config, platforms=platforms)
-    print(f"exported {opt.export_out}: {meta}")
+    batches = [int(b) for b in str(opt.export_batch).split(",") if b]
+    for b in batches:
+        if len(batches) == 1:
+            out = opt.export_out
+        else:
+            root, ext = os.path.splitext(opt.export_out)
+            out = f"{root}_b{b}{ext}"
+        meta = export_edit_artifact(
+            pipe.params, out, size=opt.export_size,
+            batch=b, config=pipe.config, platforms=platforms)
+        print(f"exported {out}: {meta}")
 
 
 if __name__ == "__main__":

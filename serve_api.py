@@ -9,6 +9,12 @@ doubles per-chip throughput vs batch-1 dispatch.
     python serve_api.py --name celeb --joint_train_inp --use_cam \
         --pool_type max --dataset_mode base --port 9999 \
         --compute_dtype bfloat16 --precision default
+
+Deployment hosts can serve from exported StableHLO programs instead of
+checkpoints + model code (scripts/export_serving_artifact.py):
+
+    python serve_api.py --serve_artifact celeb_b1.shlo \
+        --serve_artifact celeb_b32.shlo --port 9999 ...
 """
 
 import base64
