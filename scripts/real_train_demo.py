@@ -41,6 +41,7 @@ def run_train(args, workdir, extra, secs, tag):
            "resize_and_crop", "--use_cam", "--pool_type", "max",
            "--joint_train_inp", "--not_om", "--nThreads", "1",
            "--compute_dtype", args.compute_dtype,
+           "--lambda_mask_rec", str(args.lambda_mask_rec),
            "--precision", "default", "--niter", "1000",
            "--print_freq", str(args.batch * args.print_iters),
            "--save_epoch_freq", "100000",
@@ -153,6 +154,10 @@ def main():
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--compute_dtype", default="bfloat16")
+    # direct mask supervision ON for the demo: the reference-exact
+    # objective (lambda=0) collapses netM to a zero mask when inputs==gt
+    # (verified over a 250-epoch soak) — the grid would show black masks
+    ap.add_argument("--lambda_mask_rec", type=float, default=1.0)
     ap.add_argument("--print_iters", type=int, default=10)
     ap.add_argument("--train_secs", type=float, default=300)
     ap.add_argument("--resume_secs", type=float, default=120)

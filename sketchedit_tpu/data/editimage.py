@@ -96,6 +96,10 @@ class EditImageDataset:
             'image_u8': img_out,
             'mask': line,                                 # partial sketch
             'edgegt': edgegt,                             # full edge map
+            # GT region the partial sketch was cut from — the supervision
+            # target for --lambda_mask_rec (the objective as shipped by the
+            # reference admits a zero-mask collapse; see trainer.py).
+            'region_gt': (region > 0.5)[:, :, None],
             'random_mask': external_mask(
                 self.mask_creator, h, w,
                 use_object_masks=not getattr(self.opt, 'not_om', False)

@@ -20,6 +20,9 @@ import numpy as np
 import jax.numpy as jnp
 
 MASK_KEYS = ("mask", "edgegt", "random_mask", "random_mask2")
+# optional bool planes packed after the core four when the dataset emits
+# them (editimage's 'region_gt' supervision target for --lambda_mask_rec)
+OPTIONAL_MASK_KEYS = ("region_gt",)
 
 
 def packable(batch) -> bool:
@@ -32,28 +35,37 @@ def packable(batch) -> bool:
                     and batch[k].dtype == bool for k in MASK_KEYS))
 
 
+def mask_keys(batch) -> tuple:
+    """The exact key tuple pack_batch will emit for this batch — the
+    static argument the device-side unpack jit must be specialized on."""
+    return MASK_KEYS + tuple(
+        k for k in OPTIONAL_MASK_KEYS
+        if isinstance(batch.get(k), np.ndarray) and batch[k].dtype == bool)
+
+
 def pack_batch(batch) -> np.ndarray:
-    """Compact batch dict -> one (B, 3*H*W + ceil(H*W/2)) uint8 blob."""
+    """Compact batch dict -> one (B, 3*H*W + ceil(K*H*W/8)) uint8 blob."""
     img = batch["image"]
     B, H, W, _ = img.shape
-    masks = np.stack([batch[k][..., 0] for k in MASK_KEYS], axis=-1)
+    keys = mask_keys(batch)
+    masks = np.stack([batch[k][..., 0] for k in keys], axis=-1)
     packed = np.packbits(masks.reshape(B, -1), axis=1)   # 8 bits/byte
     return np.concatenate([img.reshape(B, -1), packed], axis=1)
 
 
-def unpack_batch(blob, h: int, w: int) -> dict:
-    """Device-side inverse of pack_batch (jittable; h/w static)."""
+def unpack_batch(blob, h: int, w: int, keys: tuple = MASK_KEYS) -> dict:
+    """Device-side inverse of pack_batch (jittable; h/w/keys static)."""
     B = blob.shape[0]
     img = blob[:, :h * w * 3].reshape(B, h, w, 3)
     pk = blob[:, h * w * 3:]
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)      # big bitorder
     bits = (pk[:, :, None] >> shifts) & jnp.uint8(1)
     # np.packbits pads each row to a byte boundary; drop the pad bits
-    # (present whenever h*w is odd) before the spatial reshape
-    n = h * w * len(MASK_KEYS)
-    bits = bits.reshape(B, -1)[:, :n].reshape(B, h, w, len(MASK_KEYS))
+    # (present whenever K*h*w % 8 != 0) before the spatial reshape
+    n = h * w * len(keys)
+    bits = bits.reshape(B, -1)[:, :n].reshape(B, h, w, len(keys))
     bits = bits.astype(jnp.bool_)   # match _collate(compact=True)'s bool
     out = {"image": img}
-    for i, k in enumerate(MASK_KEYS):
+    for i, k in enumerate(keys):
         out[k] = bits[..., i:i + 1]
     return out

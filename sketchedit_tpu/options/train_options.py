@@ -33,6 +33,13 @@ class TrainOptions(BaseOptions):
         parser.add_argument('--lambda_l1', type=float, default=1.0)
         parser.add_argument('--lambda_l1_mask', type=float, default=1.0)
         parser.add_argument('--lambda_vgg', type=float, default=10.0)
+        parser.add_argument('--lambda_mask_rec', type=float, default=0.0,
+                            help='direct L1 supervision of the predicted '
+                                 'soft mask vs the sampled GT region '
+                                 '(greenfield; 0 = reference-exact). The '
+                                 'objective as shipped admits a zero-mask '
+                                 'collapse when inputs==gt — see '
+                                 'train/trainer.py g_image_loss')
         parser.add_argument('--no_gan_loss', action='store_true')
         parser.add_argument('--no_vgg_loss', action='store_true')
         parser.add_argument('--vgg_imagenet_norm', type=int, default=1,

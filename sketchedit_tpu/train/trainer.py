@@ -37,6 +37,7 @@ class TrainConfig:
     gan_mode: str = "hinge"
     lambda_l1: float = 1.0
     lambda_l1_mask: float = 1.0
+    lambda_mask_rec: float = 0.0    # direct netM supervision (greenfield)
     lambda_vgg: float = 10.0
     no_gan_loss: bool = False
     no_vgg_loss: bool = True          # enable when VGG weights are provided
@@ -290,6 +291,20 @@ def g_image_loss(d_params, gen, batch, cfg: TrainConfig, vgg_params=None,
         l1c = l1c + (losses.l1_loss(blur_com_ims["mask"], real_blur)
                      * cfg.lambda_l1_mask)
     G["L1c"] = l1c
+    # Direct mask supervision vs the sampled GT region (greenfield,
+    # --lambda_mask_rec, default OFF = reference-exact). Measured necessity:
+    # with inputs == gt (the reference default, editline2_model.py:227-230)
+    # every shipped loss term — mask-composite L1, GAN, VGG — is exactly
+    # minimized by soft_mask == 0 (composite degenerates to the real input),
+    # and a 250-epoch from-scratch run converged to that collapse
+    # (max soft_mask 1e-4). The released netM must have been trained with
+    # supervision the reference repo does not contain (its training dataset
+    # and recipe were never published); the SketchEdit paper's mask
+    # estimator is learned against the sampled region that generated the
+    # partial sketch, which is what this term implements.
+    if cfg.lambda_mask_rec and "region_gt" in batch:
+        G["Mrec"] = (losses.l1_loss(gen["mask"], batch["region_gt"])
+                     * cfg.lambda_mask_rec)
     return G
 
 
@@ -331,7 +346,7 @@ def decompress_batch(batch):
     gt = out.get("gt")
     if gt is not None and gt.dtype == jnp.uint8:
         out["gt"] = gt.astype(jnp.float32) / 127.5 - 1.0
-    for k in ("mask", "edgegt", "random_mask", "random_mask2"):
+    for k in ("mask", "edgegt", "random_mask", "random_mask2", "region_gt"):
         v = out.get(k)
         if v is not None and v.dtype == jnp.bool_:
             out[k] = v.astype(jnp.float32)

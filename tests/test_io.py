@@ -302,10 +302,15 @@ def test_editimage_with_object_masks(tmp_path):
     ds = EditImageDataset()
     ds.initialize(opt, seed=11)
     item = ds[0]
-    for k in ("mask", "random_mask", "random_mask2"):
+    for k in ("mask", "random_mask", "random_mask2", "region_gt"):
         assert item[k].shape[:2] == (64, 64)
         assert item[k].sum() >= 0
     assert item["random_mask"].sum() > 0
+    # the partial sketch is exactly the edges inside the GT region — the
+    # invariant --lambda_mask_rec supervision relies on
+    assert item["region_gt"].dtype == bool and item["region_gt"].sum() > 0
+    np.testing.assert_array_equal(
+        item["mask"], item["edgegt"] & item["region_gt"])
 
 
 def test_load_from_opt_file_restores_flags(tmp_path, monkeypatch):

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from sketchedit_tpu.data.packed_transfer import (
-    MASK_KEYS, pack_batch, packable, unpack_batch)
+    MASK_KEYS, mask_keys, pack_batch, packable, unpack_batch)
 
 
 def _compact_batch(rs, B=2, H=16, W=16):
@@ -47,6 +47,26 @@ def test_pack_unpack_roundtrip_odd_pixels():
     for k in MASK_KEYS:
         assert np.asarray(out[k]).dtype == np.bool_
         np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
+
+
+def test_pack_unpack_optional_region_gt():
+    """The optional 'region_gt' plane (editimage's --lambda_mask_rec
+    supervision target) packs after the core four and round-trips; the
+    unpack must be specialized on mask_keys(batch)."""
+    rs = np.random.RandomState(11)
+    batch = _compact_batch(rs)
+    batch["region_gt"] = rs.rand(2, 16, 16, 1) > 0.5
+    keys = mask_keys(batch)
+    assert keys == MASK_KEYS + ("region_gt",)
+    blob = pack_batch(batch)
+    assert blob.shape == (2, 16 * 16 * 3 + 16 * 16 * 5 // 8)
+    out = unpack_batch(jnp.asarray(blob), 16, 16, keys=keys)
+    for k in keys:
+        np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
+    # without the key, behavior (and blob layout) is unchanged
+    del batch["region_gt"]
+    assert mask_keys(batch) == MASK_KEYS
+    assert pack_batch(batch).shape == (2, 16 * 16 * 3 + 16 * 16 * 4 // 8)
 
 
 def test_packable_rejects_float_batches():

@@ -110,6 +110,48 @@ def test_train_step_updates_params():
     assert not np.allclose(d0, d1)
 
 
+def test_mask_rec_supervision():
+    """--lambda_mask_rec: direct L1 on the predicted soft mask vs the
+    sampled GT region. Off by default (reference-exact objective — which,
+    with inputs==gt, is exactly minimized by a zero mask and collapses in
+    practice); when on, the term must appear in the metrics, pull netM,
+    and equal l1(mask, region_gt)*lambda."""
+    from sketchedit_tpu.train.trainer import g_image_loss
+
+    batch_np = _tiny_batch()
+    batch_np["region_gt"] = (np.random.RandomState(5)
+                             .rand(2, 32, 32, 1) > 0.6).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    cfg_off = TrainConfig(no_gan_loss=True)
+    cfg_on = TrainConfig(no_gan_loss=True, lambda_mask_rec=3.0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg_on)
+    gen = generate_fake_train(
+        {"M": state["params"]["M"], "G": state["params"]["G"]}, batch,
+        jnp.asarray(1), cfg_on)
+
+    g_off = g_image_loss(state["params"]["D"], gen, batch, cfg_off)
+    g_on = g_image_loss(state["params"]["D"], gen, batch, cfg_on)
+    assert "Mrec" not in g_off
+    expect = float(jnp.mean(jnp.abs(gen["mask"] - batch["region_gt"]))) * 3.0
+    np.testing.assert_allclose(float(g_on["Mrec"]), expect, rtol=1e-5)
+
+    # a full step reports the metric and still updates netM
+    step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg_on))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["Mrec"]))
+    m0 = np.asarray(state["params"]["M"]["conv1"]["w"])
+    m1 = np.asarray(new_state["params"]["M"]["conv1"]["w"])
+    assert not np.allclose(m0, m1)
+
+    # batches without the key (non-editimage datasets) run unchanged
+    _, metrics2 = jax.jit(lambda st, b, k: train_step(st, b, k, cfg_on))(
+        init_train_state(jax.random.PRNGKey(0), cfg_on),
+        {k: v for k, v in batch.items() if k != "region_gt"},
+        jax.random.PRNGKey(1))
+    assert "Mrec" not in metrics2
+
+
 def test_partial_update_mask_only():
     cfg = TrainConfig(update_part="mask", no_gan_loss=True)
     assert cfg.train_mask_only

@@ -66,6 +66,7 @@ def main():
             attention_mesh=attention_mesh),
         gan_mode=opt.gan_mode, lambda_l1=opt.lambda_l1,
         lambda_l1_mask=opt.lambda_l1_mask, lambda_vgg=opt.lambda_vgg,
+        lambda_mask_rec=opt.lambda_mask_rec,
         no_gan_loss=opt.no_gan_loss,
         no_vgg_loss=opt.no_vgg_loss or vgg_params is None,
         vgg_imagenet_norm=bool(opt.vgg_imagenet_norm),
@@ -125,16 +126,17 @@ def main():
     # runtime charges ~45ms fixed per host->device transfer, so compact
     # batches ship as ONE uint8 blob, unpacked on device inside the step.
     from sketchedit_tpu.data.packed_transfer import (
-        pack_batch, packable, unpack_batch)
+        mask_keys, pack_batch, packable, unpack_batch)
     packed_step_cache = {}
 
-    def packed_step_fn(hw):
-        if hw not in packed_step_cache:
-            packed_step_cache[hw] = jax.jit(
+    def packed_step_fn(hw, keys):
+        if (hw, keys) not in packed_step_cache:
+            packed_step_cache[hw, keys] = jax.jit(
                 lambda st, blob, k: train_step(
-                    st, unpack_batch(blob, *hw), k, cfg, vgg_params),
+                    st, unpack_batch(blob, *hw, keys=keys), k, cfg,
+                    vgg_params),
                 donate_argnums=(0,))
-        return packed_step_cache[hw]
+        return packed_step_cache[hw, keys]
 
     def upload(batch):
         """Host batch -> (device args, step callable). Upload is async on
@@ -142,13 +144,14 @@ def main():
         ahead overlaps the transfer with the in-flight step."""
         if packable(batch):
             hw = batch["image"].shape[1:3]
+            keys = mask_keys(batch)
             # shard_batch places numpy directly: one transfer, already
             # sharded (asarray-then-device_put would pay the ~45ms fixed
             # transfer cost twice)
             blob = pack_batch(batch)
             blob = (shard_batch(mesh, blob) if mesh is not None
                     else jnp.asarray(blob))
-            return blob, packed_step_fn(hw)
+            return blob, packed_step_fn(hw, keys)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()
                         if isinstance(v, np.ndarray)}
         if mesh is not None:
