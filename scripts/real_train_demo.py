@@ -157,7 +157,7 @@ def main():
     # direct mask supervision ON for the demo: the reference-exact
     # objective (lambda=0) collapses netM to a zero mask when inputs==gt
     # (verified over a 250-epoch soak) — the grid would show black masks
-    ap.add_argument("--lambda_mask_rec", type=float, default=1.0)
+    ap.add_argument("--lambda_mask_rec", type=float, default=2.0)
     ap.add_argument("--print_iters", type=int, default=10)
     ap.add_argument("--train_secs", type=float, default=300)
     ap.add_argument("--resume_secs", type=float, default=120)

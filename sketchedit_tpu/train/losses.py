@@ -25,6 +25,25 @@ def l1_loss(a, b):
     return jnp.mean(jnp.abs(a - b))
 
 
+def mask_bce_loss(soft_mask, target):
+    """Binary cross-entropy on an already-sigmoided mask, saturation-safe.
+
+    Used for --lambda_mask_rec (direct netM supervision). BCE, not L1, on
+    purpose: through a sigmoid the L1 gradient is |dL/dlogit| = m*(1-m),
+    which vanishes once the mask saturates — measured: an L1-supervised
+    run re-collapsed to mask ~= 0 and the loss plateaued at exactly the
+    mean GT-region coverage (0.30). BCE's pull is |m - t|, constant in
+    the saturated regime. The max() floors pass gradients whenever the
+    clamp is inactive, and f32 sigmoid never returns exact 0/1 for
+    logits within +-80.
+    """
+    m = soft_mask.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    eps = 1e-20      # covers logits to ~-46; f32 sigmoid underflows at ~-104
+    return -jnp.mean(t * jnp.log(jnp.maximum(m, eps))
+                     + (1.0 - t) * jnp.log(jnp.maximum(1.0 - m, eps)))
+
+
 def gan_loss(pred, target_is_real: bool, *, mode: str = "hinge",
              for_discriminator: bool = True):
     """Standard adversarial objectives on patch logits.

@@ -301,9 +301,10 @@ def g_image_loss(d_params, gen, batch, cfg: TrainConfig, vgg_params=None,
     # supervision the reference repo does not contain (its training dataset
     # and recipe were never published); the SketchEdit paper's mask
     # estimator is learned against the sampled region that generated the
-    # partial sketch, which is what this term implements.
+    # partial sketch, which is what this term implements. BCE, not L1 —
+    # see losses.mask_bce_loss for the measured saturation argument.
     if cfg.lambda_mask_rec and "region_gt" in batch:
-        G["Mrec"] = (losses.l1_loss(gen["mask"], batch["region_gt"])
+        G["Mrec"] = (losses.mask_bce_loss(gen["mask"], batch["region_gt"])
                      * cfg.lambda_mask_rec)
     return G
 

@@ -133,8 +133,10 @@ def test_mask_rec_supervision():
     g_off = g_image_loss(state["params"]["D"], gen, batch, cfg_off)
     g_on = g_image_loss(state["params"]["D"], gen, batch, cfg_on)
     assert "Mrec" not in g_off
-    expect = float(jnp.mean(jnp.abs(gen["mask"] - batch["region_gt"]))) * 3.0
-    np.testing.assert_allclose(float(g_on["Mrec"]), expect, rtol=1e-5)
+    m = np.asarray(gen["mask"], np.float64)
+    t = np.asarray(batch["region_gt"], np.float64)
+    expect = -np.mean(t * np.log(m) + (1 - t) * np.log(1 - m)) * 3.0
+    np.testing.assert_allclose(float(g_on["Mrec"]), expect, rtol=1e-4)
 
     # a full step reports the metric and still updates netM
     step = jax.jit(lambda st, b, k: train_step(st, b, k, cfg_on))
