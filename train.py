@@ -142,6 +142,10 @@ def main():
         """Host batch -> (device args, step callable). Upload is async on
         this runtime (asarray returns in ~20ms); calling it one batch
         ahead overlaps the transfer with the in-flight step."""
+        if not cfg.lambda_mask_rec:
+            # don't ship supervision bytes the step won't read (~4% of the
+            # packed blob at 256^2; the tunnel charges per byte)
+            batch.pop("region_gt", None)
         if packable(batch):
             hw = batch["image"].shape[1:3]
             keys = mask_keys(batch)
