@@ -57,7 +57,10 @@ def test_trainpy_cli_smoke(tmp_path):
            "--pool_type", "max", "--joint_train_inp", "--not_om",
            "--preprocess_mode", "resize_and_crop", "--load_size", "64",
            "--crop_size", "64", "--no_flip",
-           "--save_epoch_freq", "1", "--print_freq", "2"]
+           "--save_epoch_freq", "1", "--print_freq", "2",
+           # mask supervision through the real CLI: region_gt must ride the
+           # packed transfer and Mrec must reach the printed metrics
+           "--lambda_mask_rec", "2.0"]
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
                          env=env, cwd=REPO)
     assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
@@ -69,6 +72,7 @@ def test_trainpy_cli_smoke(tmp_path):
     assert "train_state_latest" in files
     assert "iter.txt" in files
     assert "End of epoch 1" in res.stdout
+    assert "'Mrec':" in res.stdout
 
 
 def test_trainpy_sigterm_checkpoints_before_exit(tmp_path):
