@@ -54,7 +54,20 @@ def run_train(args, workdir, extra, secs, tag):
                             env=env, preexec_fn=die_with_parent)
     sidecar = open(os.path.join(workdir, f"{tag}_full.log"), "w")
     losses, resumed_step, t0 = [], None, None
+    import threading as _threading
+    term_lock = _threading.Lock()
     termed = False
+
+    def _send_term_once(why):
+        # train.py treats a SECOND signal as exit-now (no checkpoint), so
+        # the timer thread and the read loop must never both fire
+        nonlocal termed
+        with term_lock:
+            if termed or proc.poll() is not None:
+                return
+            termed = True
+        print(f"[{tag}] sending SIGTERM ({why})", flush=True)
+        proc.send_signal(signal.SIGTERM)
     # a fresh remote compile can take 15+ min on this runtime; the clock
     # starts at the first steady loss line. Never SIGTERM right after the
     # first line: the persistent-cache write of the freshly-compiled
@@ -74,6 +87,15 @@ def run_train(args, workdir, extra, secs, tag):
     watchdog = threading.Timer(hard_deadline - time.time(), _hard_kill)
     watchdog.daemon = True
     watchdog.start()
+
+    # timed stop fires at t0+secs regardless of output: a child that
+    # stalls mid-run (wedged tunnel call — observed live) stops printing,
+    # and the in-loop check below would otherwise wait for the hard
+    # deadline. SIGTERM only sets train.py's checkpoint-and-exit flag, so
+    # firing during a stall is safe — the child acts on it when (if) the
+    # stalled call returns.
+    timed_stop = None
+
     for line in proc.stdout:
         sidecar.write(line)
         sidecar.flush()
@@ -82,6 +104,10 @@ def run_train(args, workdir, extra, secs, tag):
         if m:
             if t0 is None:
                 t0 = time.time()       # clock starts at first steady print
+                timed_stop = threading.Timer(
+                    max(secs, 60.0), _send_term_once, args=("timer",))
+                timed_stop.daemon = True
+                timed_stop.start()
             losses.append({"epoch": int(m.group(1)), "iter": int(m.group(2)),
                            "ms_per_img": int(m.group(3)),
                            "losses": json.loads(m.group(4).replace("'", '"'))})
@@ -91,12 +117,12 @@ def run_train(args, workdir, extra, secs, tag):
             print(f"[{tag}] {line}", flush=True)
         timed_out = ((t0 and time.time() - t0 > max(secs, 60.0))
                      or time.time() > hard_deadline)
-        if timed_out and not termed:
-            print(f"[{tag}] sending SIGTERM", flush=True)
-            proc.send_signal(signal.SIGTERM)
-            termed = True
+        if timed_out:
+            _send_term_once("loop")
     rc = proc.wait(timeout=600)
     watchdog.cancel()
+    if timed_stop is not None:
+        timed_stop.cancel()
     sidecar.close()
     return losses, resumed_step, rc
 
