@@ -190,6 +190,27 @@ def main():
 
 
 if __name__ == "__main__":
+    # Hang watchdog: a lost terminal-server session grant makes backend
+    # init block FOREVER inside make_c_api_client (observed r3: >2h wedge
+    # after processes died mid-tunnel-call; claim_timeout is -1 and not
+    # honored during a dead handshake). An unattended driver run must
+    # fail loudly instead of hanging, so exit nonzero with a diagnosis if
+    # no JSON line has been produced by the deadline. Overridable for
+    # legitimately slow fresh compiles (remote-compile variance is up to
+    # ~20 min): BENCH_WATCHDOG_S, default 2400.
+    import threading
+    _watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+
+    def _hang_abort():
+        print("bench watchdog: no result after "
+              f"{_watchdog_s:.0f}s — backend init or device call is "
+              "hung (wedged tunnel session grant?); aborting",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+    _wd = threading.Timer(_watchdog_s, _hang_abort)
+    _wd.daemon = True
+    _wd.start()
+
     # the tunneled TPU occasionally wedges transiently (device-lock churn);
     # one retry after a cool-down keeps the recorded benchmark honest
     # without masking real failures.
@@ -202,3 +223,4 @@ if __name__ == "__main__":
         traceback.print_exc()
         time.sleep(60)
         main()
+    _wd.cancel()
