@@ -93,7 +93,28 @@ def main():
     executor = BatchingExecutor(pipeline, max_batch=opt.max_batch,
                                 max_wait_ms=opt.max_wait_ms)
     print("warming batch buckets (one compile per bucket size)...")
+    # Fail fast on a dead accelerator: backend init/first device call can
+    # hang FOREVER on a wedged tunnel session grant (observed: >2h). A
+    # server that never binds its port is worse for an orchestrator than
+    # one that exits nonzero — supervisors restart on exit, not on silence.
+    # Default sized for remote-compile variance; SERVE_WARMUP_WATCHDOG_S=0
+    # disables.
+    import threading
+    wd_s = float(os.environ.get("SERVE_WARMUP_WATCHDOG_S", 2400))
+
+    def _warmup_abort():
+        print(f"warmup watchdog: no compile result after {wd_s:.0f}s — "
+              "device init or compile is hung; exiting", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+    wd = None
+    if wd_s > 0:
+        wd = threading.Timer(wd_s, _warmup_abort)
+        wd.daemon = True
+        wd.start()
     executor.warmup((edit_size, edit_size))
+    if wd is not None:
+        wd.cancel()
     print("warmup done")
 
     MAX_BODY = 64 * 1024 * 1024          # 2x a 4096^2 PNG pair, generous
