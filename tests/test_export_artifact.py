@@ -53,6 +53,7 @@ def test_serve_api_from_artifacts(tmp_path):
     import json
     import socket
     import time
+    import urllib.error
     import urllib.request
     from PIL import Image
     from sketchedit_tpu.models import editline2
@@ -111,9 +112,18 @@ def test_serve_api_from_artifacts(tmp_path):
             f"http://127.0.0.1:{port}/edit",
             data=json.dumps({"image": png(img), "sketch": png(sk)}).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=300) as r:
-            assert r.status == 200
-            out = json.loads(r.read())
+        # retry transport-level URLErrors once: connect-level flakes occur
+        # on the loaded 1-core host (same rationale as test_serve_api)
+        for attempt in range(2):
+            try:
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    assert r.status == 200
+                    out = json.loads(r.read())
+                break
+            except urllib.error.URLError:
+                if attempt == 1:
+                    raise
+                time.sleep(10)
         comp = Image.open(io.BytesIO(base64.b64decode(out["image"])))
         assert comp.size == (32, 32)
     finally:
