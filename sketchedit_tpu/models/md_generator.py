@@ -100,7 +100,8 @@ def _run_decoder(params, x, specs, precision, pack):
     return _run(params, x, specs[-3:], precision)
 
 
-def apply(params, image, sketch, *, precision=None, pack: bool | None = None):
+def apply(params, image, sketch, *, precision=None, pack: bool | None = None,
+          mask_dtype=None):
     """netM forward.
 
     Args:
@@ -134,8 +135,13 @@ def apply(params, image, sketch, *, precision=None, pack: bool | None = None):
 
     mask_image = jnp.tanh(
         _run_decoder(params, x_pre, _IMAGE_DECODER, precision, pack))
-    soft_mask = jax.nn.sigmoid(
-        _run_decoder(params, x_bneck, _MASK_DECODER, precision, pack))
+    logits = _run_decoder(params, x_bneck, _MASK_DECODER, precision, pack)
+    # mask_dtype widens the sigmoid (train passes float32): a bf16 sigmoid
+    # returns EXACTLY 0/1 for |logit| >~ 6.3, which kills the BCE mask-
+    # supervision gradient on confidently-wrong pixels (losses.mask_bce_loss)
+    if mask_dtype is not None:
+        logits = logits.astype(mask_dtype)
+    soft_mask = jax.nn.sigmoid(logits)
     return soft_mask, mask_image
 
 

@@ -34,9 +34,11 @@ class TrainOptions(BaseOptions):
         parser.add_argument('--lambda_l1_mask', type=float, default=1.0)
         parser.add_argument('--lambda_vgg', type=float, default=10.0)
         parser.add_argument('--lambda_mask_rec', type=float, default=0.0,
-                            help='direct L1 supervision of the predicted '
+                            help='direct BCE supervision of the predicted '
                                  'soft mask vs the sampled GT region '
-                                 '(greenfield; 0 = reference-exact). The '
+                                 '(greenfield; 0 = reference-exact; BCE not '
+                                 'L1 — L1 re-collapses through the saturated '
+                                 'sigmoid, see losses.mask_bce_loss). The '
                                  'objective as shipped admits a zero-mask '
                                  'collapse when inputs==gt — see '
                                  'train/trainer.py g_image_loss')

@@ -34,8 +34,14 @@ def mask_bce_loss(soft_mask, target):
     run re-collapsed to mask ~= 0 and the loss plateaued at exactly the
     mean GT-region coverage (0.30). BCE's pull is |m - t|, constant in
     the saturated regime. The max() floors pass gradients whenever the
-    clamp is inactive, and f32 sigmoid never returns exact 0/1 for
-    logits within +-80.
+    clamp is inactive. Precision matters: sigmoid returns EXACTLY 1.0
+    once 1-sigmoid(x) drops below half an ulp — past logit ~6.3 in bf16
+    but only past ~16.6 in f32 (the 0 side is far safer: exp underflows
+    near -104 in f32) — which is why the trainer computes the mask
+    sigmoid in f32 (md_generator.apply mask_dtype) even under bf16
+    compute: a bf16-saturated mask would zero the gradient via the clamp
+    on precisely the confidently-wrong pixels this loss exists to
+    correct, an order of magnitude earlier than f32 does.
     """
     m = soft_mask.astype(jnp.float32)
     t = target.astype(jnp.float32)

@@ -176,20 +176,26 @@ def generate_fake_train(gen_params, batch, flag, cfg: TrainConfig):
     line = batch["mask"].astype(cdt)
     line_full = batch["edgegt"].astype(cdt)
 
+    # the mask sigmoid runs in f32 (mask_dtype): the BCE supervision term
+    # needs unsaturated probabilities, which bf16 cannot represent past
+    # |logit| ~ 6.3. The netG graph keeps consuming the cdt copy.
     soft_mask, mask_image = md_generator.apply(
-        gen_params["M"], inputs, line, precision=prec)
+        gen_params["M"], inputs, line, precision=prec,
+        mask_dtype=jnp.float32)
+    soft_mask_cdt = soft_mask.astype(cdt)
 
     def branch_inpaint(_):
         m = batch["random_mask"].astype(cdt)
         return m, line_full * m, real
 
     def branch_soft(_):
-        m = soft_mask if cfg.no_detach else jax.lax.stop_gradient(soft_mask)
+        m = (soft_mask_cdt if cfg.no_detach
+             else jax.lax.stop_gradient(soft_mask_cdt))
         return m, line, inputs
 
     def branch_hard(_):
         m = jax.lax.stop_gradient(
-            (soft_mask > cfg.mask_threshold).astype(soft_mask.dtype))
+            (soft_mask > cfg.mask_threshold).astype(cdt))
         return m, line, inputs
 
     mask_inpaint, line_inpaint, inputs0 = jax.lax.switch(
@@ -203,7 +209,7 @@ def generate_fake_train(gen_params, batch, flag, cfg: TrainConfig):
     f32 = jnp.float32
     return {
         "coarse": coarse.astype(f32), "fake": fake.astype(f32),
-        "mask": soft_mask.astype(f32), "mask_image": mask_image.astype(f32),
+        "mask": soft_mask, "mask_image": mask_image.astype(f32),
         "mask_inpaint": mask_inpaint.astype(f32),
         "line_inpaint": line_inpaint.astype(f32),
         "input_inpaint": inputs0.astype(f32),

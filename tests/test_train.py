@@ -111,11 +111,12 @@ def test_train_step_updates_params():
 
 
 def test_mask_rec_supervision():
-    """--lambda_mask_rec: direct L1 on the predicted soft mask vs the
-    sampled GT region. Off by default (reference-exact objective — which,
-    with inputs==gt, is exactly minimized by a zero mask and collapses in
-    practice); when on, the term must appear in the metrics, pull netM,
-    and equal l1(mask, region_gt)*lambda."""
+    """--lambda_mask_rec: direct BCE on the predicted soft mask vs the
+    sampled GT region (BCE, not L1 — L1 re-collapses through the saturated
+    sigmoid; losses.mask_bce_loss). Off by default (reference-exact
+    objective — which, with inputs==gt, is exactly minimized by a zero mask
+    and collapses in practice); when on, the term must appear in the
+    metrics and equal bce(mask, region_gt)*lambda."""
     from sketchedit_tpu.train.trainer import g_image_loss
 
     batch_np = _tiny_batch()
@@ -152,6 +153,53 @@ def test_mask_rec_supervision():
         {k: v for k, v in batch.items() if k != "region_gt"},
         jax.random.PRNGKey(1))
     assert "Mrec" not in metrics2
+
+
+def test_mask_sigmoid_widened_to_f32_under_bf16():
+    """Under bf16 compute the trainer must evaluate the mask sigmoid in
+    f32 (md_generator.apply mask_dtype): bf16 sigmoid returns EXACTLY 1.0
+    past logit ~6.3, and mask_bce_loss's clamp then zeroes the gradient on
+    confidently-wrong pixels — the exact case the BCE supervision exists
+    to correct."""
+    from sketchedit_tpu.models import md_generator
+
+    cfg = TrainConfig(no_gan_loss=True, compute_dtype="bfloat16",
+                      lambda_mask_rec=1.0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    params_m = jax.tree.map(lambda x: x, state["params"]["M"])
+    # force logits into the window where bf16 sigmoid saturates to exactly
+    # 1.0 (past ~6.3) but f32 does not (only past ~16.6)
+    params_m["conv_mask_17"]["b"] = (
+        params_m["conv_mask_17"]["b"] + 12.0)
+
+    batch_np = _tiny_batch()
+    inputs = jnp.asarray(batch_np["image"], jnp.bfloat16)
+    line = jnp.asarray(batch_np["mask"], jnp.bfloat16)
+
+    soft_bf16, _ = md_generator.apply(params_m, inputs, line)
+    soft_f32, _ = md_generator.apply(params_m, inputs, line,
+                                     mask_dtype=jnp.float32)
+    assert soft_f32.dtype == jnp.float32
+    # bf16 saturates to exactly 1.0; the widened sigmoid stays strictly
+    # inside (0, 1) so log(1-m) keeps a live gradient
+    assert float(jnp.max(soft_bf16.astype(jnp.float32))) == 1.0
+    assert float(jnp.max(soft_f32)) < 1.0
+
+    # wiring: the bf16 train path returns the f32 mask to the losses, and
+    # BCE against an all-zero target has nonzero grad through netM
+    gen = generate_fake_train(
+        {"M": params_m, "G": state["params"]["G"]},
+        {k: jnp.asarray(v) for k, v in batch_np.items()},
+        jnp.asarray(1), cfg)
+    assert gen["mask"].dtype == jnp.float32
+    assert float(jnp.max(gen["mask"])) < 1.0
+
+    def bce_through_netm(pm):
+        soft, _ = md_generator.apply(pm, inputs, line,
+                                     mask_dtype=jnp.float32)
+        return losses.mask_bce_loss(soft, jnp.zeros_like(soft))
+    g = jax.grad(bce_through_netm)(params_m)
+    assert float(jnp.max(jnp.abs(g["conv_mask_17"]["b"]))) > 0.0
 
 
 def test_partial_update_mask_only():
