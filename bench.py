@@ -198,6 +198,7 @@ if __name__ == "__main__":
     # no JSON line has been produced by the deadline. Overridable for
     # legitimately slow fresh compiles (remote-compile variance is up to
     # ~20 min): BENCH_WATCHDOG_S, default 2400.
+    # BENCH_WATCHDOG_S=0 disables (same contract as SERVE_WARMUP_WATCHDOG_S).
     import threading
     _watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
 
@@ -207,13 +208,22 @@ if __name__ == "__main__":
               "hung (wedged tunnel session grant?); aborting",
               file=sys.stderr, flush=True)
         os._exit(3)
-    _wd = threading.Timer(_watchdog_s, _hang_abort)
-    _wd.daemon = True
-    _wd.start()
+
+    def _arm():
+        if _watchdog_s <= 0:
+            return None
+        t = threading.Timer(_watchdog_s, _hang_abort)
+        t.daemon = True
+        t.start()
+        return t
 
     # the tunneled TPU occasionally wedges transiently (device-lock churn);
     # one retry after a cool-down keeps the recorded benchmark honest
-    # without masking real failures.
+    # without masking real failures. Each attempt gets its own full
+    # watchdog budget: a timer spanning attempt 1 + sleep + attempt 2 would
+    # abort the retry mid-compile (killing the async persistent-cache
+    # write with it).
+    _wd = _arm()
     try:
         main()
     except Exception as e:
@@ -221,6 +231,10 @@ if __name__ == "__main__":
         print(f"bench attempt 1 failed ({e}); retrying in 60s",
               file=sys.stderr)
         traceback.print_exc()
+        if _wd is not None:
+            _wd.cancel()
         time.sleep(60)
+        _wd = _arm()
         main()
-    _wd.cancel()
+    if _wd is not None:
+        _wd.cancel()

@@ -53,6 +53,11 @@ def main():
     platforms = ([p for p in opt.export_platforms.split(",") if p]
                  or None)
     batches = [int(b) for b in str(opt.export_batch).split(",") if b]
+    if not batches:
+        # an unset shell variable ('--export_batch ""') must not exit 0
+        # with nothing exported — the deploy pipeline would proceed
+        raise SystemExit(
+            f"--export_batch {opt.export_batch!r} names no batch sizes")
     for b in batches:
         if len(batches) == 1:
             out = opt.export_out

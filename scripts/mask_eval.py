@@ -55,7 +55,9 @@ def main():
             "resize_and_crop", "--serial_batches",
             "--not_om", "--compute_dtype", "float32"]
     old, sys.argv = sys.argv, argv
-    opt = TrainOptions().parse()
+    # save=False: never clobber the training run's opt.txt/opt.json
+    # snapshot with these eval-time flags (--load_from_opt_file reads it)
+    opt = TrainOptions().parse(save=False)
     sys.argv = old
 
     pm = ckpt.load_network("M", opt)

@@ -80,11 +80,12 @@ def run_train(args, workdir, extra, secs, tag):
     # that fires regardless of output
     import threading
 
-    def _hard_kill():
-        if proc.poll() is None:
-            print(f"[{tag}] hard-deadline watchdog: SIGTERM", flush=True)
-            proc.send_signal(signal.SIGTERM)
-    watchdog = threading.Timer(hard_deadline - time.time(), _hard_kill)
+    # route through _send_term_once: a raw send_signal here would leave
+    # `termed` False, and the read loop could then deliver a SECOND
+    # SIGTERM (train.py's exit-now path) mid-Orbax-save once the stalled
+    # call returns
+    watchdog = threading.Timer(hard_deadline - time.time(),
+                               _send_term_once, args=("hard-deadline",))
     watchdog.daemon = True
     watchdog.start()
 
@@ -147,7 +148,9 @@ def render_grid(args, workdir, out_png):
             "--compute_dtype", "float32"]
     old = sys.argv
     sys.argv = argv
-    opt = TrainOptions().parse()
+    # save=False: don't overwrite the training run's opt snapshot with
+    # these render-time flags
+    opt = TrainOptions().parse(save=False)
     sys.argv = old
     opt.isTrain = False                      # eval-mode pipeline load
     pipe = build_pipeline(opt, require_checkpoint=True)

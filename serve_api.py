@@ -72,6 +72,27 @@ def main():
     from sketchedit_tpu.server.letterbox import (
         letterbox_fit, letterbox_restore)
 
+    # Fail fast on a dead accelerator: backend init/first device call can
+    # hang FOREVER on a wedged tunnel session grant (observed: >2h) — and
+    # the first device touch happens inside pipeline CONSTRUCTION
+    # (build_pipeline calls jax.devices()/device_put), so the watchdog must
+    # be armed before it, not just around warmup. A server that never binds
+    # its port is worse for an orchestrator than one that exits nonzero —
+    # supervisors restart on exit, not on silence. Default sized for
+    # remote-compile variance; SERVE_WARMUP_WATCHDOG_S=0 disables.
+    import threading
+    wd_s = float(os.environ.get("SERVE_WARMUP_WATCHDOG_S", 2400))
+
+    def _warmup_abort():
+        print(f"warmup watchdog: device init or compile still hung after "
+              f"{wd_s:.0f}s; exiting", file=sys.stderr, flush=True)
+        os._exit(3)
+    wd = None
+    if wd_s > 0:
+        wd = threading.Timer(wd_s, _warmup_abort)
+        wd.daemon = True
+        wd.start()
+
     if opt.serve_artifact:
         from sketchedit_tpu.runner import (
             enable_persistent_cache, respect_platform_env)
@@ -93,25 +114,6 @@ def main():
     executor = BatchingExecutor(pipeline, max_batch=opt.max_batch,
                                 max_wait_ms=opt.max_wait_ms)
     print("warming batch buckets (one compile per bucket size)...")
-    # Fail fast on a dead accelerator: backend init/first device call can
-    # hang FOREVER on a wedged tunnel session grant (observed: >2h). A
-    # server that never binds its port is worse for an orchestrator than
-    # one that exits nonzero — supervisors restart on exit, not on silence.
-    # Default sized for remote-compile variance; SERVE_WARMUP_WATCHDOG_S=0
-    # disables.
-    import threading
-    wd_s = float(os.environ.get("SERVE_WARMUP_WATCHDOG_S", 2400))
-
-    def _warmup_abort():
-        print(f"warmup watchdog: no compile result after {wd_s:.0f}s — "
-              "device init or compile is hung; exiting", file=sys.stderr,
-              flush=True)
-        os._exit(3)
-    wd = None
-    if wd_s > 0:
-        wd = threading.Timer(wd_s, _warmup_abort)
-        wd.daemon = True
-        wd.start()
     executor.warmup((edit_size, edit_size))
     if wd is not None:
         wd.cancel()

@@ -164,11 +164,16 @@ class BaseOptions:
         lines.append('----------------- End -------------------')
         print('\n'.join(lines))
 
-    def parse(self, save=False):
+    def parse(self, save=None):
+        """save: None = reference default (snapshot opt.txt/opt.json when
+        isTrain); True forces a snapshot; False suppresses it — eval/tool
+        scripts that parse TrainOptions against an EXISTING run directory
+        (scripts/mask_eval.py) must not clobber the training run's
+        snapshot, which --load_from_opt_file later reads back."""
         opt = self.gather_options()
         opt.isTrain = self.isTrain
         self.print_options(opt)
-        if opt.isTrain or save:
+        if (opt.isTrain and save is not False) or save:
             self.save_options(opt)
         # script-compat: parse gpu_ids but JAX owns placement
         opt.gpu_ids = [int(s) for s in str(opt.gpu_ids).split(',')

@@ -56,6 +56,28 @@ def test_options_parse_and_snapshot(tmp_path, monkeypatch):
     assert (tmp_path / "t" / "opt.json").exists()
 
 
+def test_train_options_parse_save_false_preserves_snapshot(
+        tmp_path, monkeypatch):
+    """parse(save=False) must not clobber an existing training run's
+    opt.txt/opt.json: eval/tool scripts (scripts/mask_eval.py, the demo's
+    render_grid) parse TrainOptions against the run directory with
+    eval-time flags, and --load_from_opt_file later reads the snapshot
+    back as training defaults."""
+    import sys
+    from sketchedit_tpu.options.train_options import TrainOptions
+    base = ["prog", "--name", "t", "--checkpoints_dir", str(tmp_path),
+            "--dataset_mode", "base", "--use_cam", "--pool_type", "max"]
+    monkeypatch.setattr(sys, "argv", base + ["--batchSize", "16"])
+    TrainOptions().parse()          # isTrain default: snapshot written
+    snap = (tmp_path / "t" / "opt.txt").read_text()
+    assert "batchSize: 16" in snap.replace(" ", " ")
+
+    monkeypatch.setattr(sys, "argv", base + ["--batchSize", "1"])
+    opt = TrainOptions().parse(save=False)
+    assert opt.batchSize == 1
+    assert (tmp_path / "t" / "opt.txt").read_text() == snap
+
+
 def test_dataloader_pads_last_batch(tmp_path):
     from sketchedit_tpu.data import DataLoader
 
