@@ -99,6 +99,59 @@ def _attn_kernel(q_ref, k_ref, v_ref, gate_ref, o_ref, lse_ref,
         ).astype(lse_ref.dtype)
 
 
+def _attn_shared_kernel(q_ref, v_ref, kscale_ref, gate_ref, o_ref, lse_ref,
+                        acc_ref, m_ref, l_ref, *, scale: float):
+    """Shared-tensor forward: grid (B, Nq, Nkv) like _attn_kernel, but the
+    q stream and the kv stream are blocks of the SAME array, and K is
+    derived in-register as v * kscale (the splitcam background L2
+    normalization is a per-(batch, channel) scale — splitcam.py:39-40 —
+    so K never needs to exist in HBM). That halves the quadratic HBM
+    traffic: the inner kv loop streams ONE tensor instead of K and V.
+
+    q_ref: (1, TQ, D) block i of V; v_ref: (1, TK, D) block j of V;
+    kscale_ref: (1, 1, D) per-batch scale (inv-norm tiled over patch
+    elements, channel-innermost); rest as _attn_kernel.
+    """
+    j = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    k = v * kscale_ref[0, 0].astype(jnp.float32)[None, :]
+    g = gate_ref[0, 0].astype(jnp.float32)
+
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TQ, TK)
+    logits = jnp.where(g[None, :] <= NEG_INF * 0.5,
+                       NEG_INF, sim * g[None, :] * scale)
+
+    m_prev = m_ref[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+
+    l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:, 0:1] = m_new
+
+    @pl.when(j == nkv - 1)
+    def _():
+        l_final = l_ref[:, 0:1]
+        o_ref[0] = (acc_ref[:] / l_final).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(
+            m_ref[:, 0:1] + jnp.log(l_final), lse_ref.shape[1:]
+        ).astype(lse_ref.dtype)
+
+
 def _dq_kernel(q_ref, k_ref, v_ref, gate_ref, do_ref, lse_ref, delta_ref,
                dq_ref, dq_acc, *, scale: float):
     """Grid (B, Nq, Nkv): accumulate dQ for one q tile across kv tiles.
@@ -346,6 +399,117 @@ def _attention_core_raw(Q, K, V, keep, *, softmax_scale: float = 10.0,
     return out[:, :N, :D]
 
 
+def _attention_core_shared_raw(V, kscale, keep, *,
+                               softmax_scale: float = 10.0,
+                               q_tile: int | None = None,
+                               kv_tile: int | None = None,
+                               return_lse: bool = False,
+                               out_dtype=None):
+    """softmax((V @ (V*kscale)^T) * keep * scale) @ V — the released-config
+    attention where foreground==background (editline_g.py:203-207 passes
+    the same pm feature tensor as both), so Q IS V and K is V scaled by
+    the per-(batch, channel) background inv-norm. One HBM tensor feeds
+    both streams; the kernel derives K per tile. V: (B, N, D);
+    kscale: (B, D); keep: (B, N)."""
+    B, N, D = V.shape
+    tq, tk = _fwd_tiles(V.dtype, out_dtype or V.dtype, N, N)
+    q_tile = q_tile or tq
+    kv_tile = kv_tile or tk
+    # one padded array serves both streams: pad N so both tile sizes
+    # divide it (q_tile and kv_tile are powers of two here, so the max
+    # is their lcm)
+    Npad = _round_up(N, max(q_tile, kv_tile))
+    Dp = _round_up(D, 128)
+    Vp = jnp.pad(V, ((0, 0), (0, Npad - N), (0, Dp - D)))
+    ks = jnp.pad(kscale.astype(V.dtype),
+                 ((0, 0), (0, Dp - D)))[:, None, :]
+    gate = jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, Npad - N)),
+                   constant_values=NEG_INF)[:, None, :]
+
+    grid = (B, Npad // q_tile, Npad // kv_tile)
+    kernel = functools.partial(_attn_shared_kernel, scale=softmax_scale)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, kv_tile, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, Dp), lambda b, i, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_tile, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, q_tile, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Npad, Dp), out_dtype or V.dtype),
+            jax.ShapeDtypeStruct((B, Npad, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, Dp), jnp.float32),
+            pltpu.VMEM((q_tile, 128), jnp.float32),
+            pltpu.VMEM((q_tile, 128), jnp.float32),
+        ],
+    )(Vp, Vp, ks, gate)
+    if return_lse:
+        return out[:, :N, :D], lse[:, :N, 0]
+    return out[:, :N, :D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _core_shared_with_vjp(V, kscale, keep, softmax_scale):
+    return _attention_core_shared_raw(V, kscale, keep,
+                                      softmax_scale=softmax_scale)
+
+
+def _core_shared_fwd(V, kscale, keep, softmax_scale):
+    out, lse = _attention_core_shared_raw(V, kscale, keep,
+                                          softmax_scale=softmax_scale,
+                                          return_lse=True,
+                                          out_dtype=jnp.float32)
+    return out.astype(V.dtype), (V, kscale, keep, out, lse)
+
+
+def _core_shared_bwd(softmax_scale, res, g):
+    """Backward of the shared-tensor forward: materialize K = V * kscale
+    once (exactly what the general path's XLA graph did in its forward),
+    reuse the flash dQ/dK/dV kernels with Q := V, then fold the three
+    gradients back onto the one primal:
+      dV_total = dQ + dV + dK * kscale;   dkscale = sum_P dK * V.
+    The sums run in f32; per-term values are bit-identical to the general
+    path (same kernels, same residuals)."""
+    V, kscale, keep, out, lse = res
+    f32 = jnp.float32
+    ks_row = kscale[:, None, :].astype(V.dtype)
+    K = V * ks_row
+    dQ, dK, dV = _attention_core_bwd_pallas(
+        V, K, V, keep, out, lse, g, softmax_scale)
+    dKf = dK.astype(f32)
+    dV_total = (dQ.astype(f32) + dV.astype(f32)
+                + dKf * kscale[:, None, :].astype(f32)).astype(V.dtype)
+    dkscale = jnp.sum(dKf * V.astype(f32), axis=1).astype(kscale.dtype)
+    return (dV_total, dkscale, jnp.zeros_like(keep))
+
+
+_core_shared_with_vjp.defvjp(_core_shared_fwd, _core_shared_bwd)
+
+
+def attention_core_pallas_shared(V, kscale, keep, *,
+                                 softmax_scale: float = 10.0,
+                                 q_tile: int | None = None,
+                                 kv_tile: int | None = None):
+    """Differentiable shared-tensor attention core (Q = V, K = V*kscale
+    derived in-kernel). Halves the forward's quadratic HBM traffic vs
+    attention_core_pallas — the kv inner loop streams one tensor, not
+    two. Explicit tiles bypass the VJP (tuning/interpreter use)."""
+    if q_tile is None and kv_tile is None:
+        return _core_shared_with_vjp(V, kscale, keep, softmax_scale)
+    return _attention_core_shared_raw(V, kscale, keep,
+                                      softmax_scale=softmax_scale,
+                                      q_tile=q_tile, kv_tile=kv_tile)
+
+
 def _attention_core_bwd_pallas(Q, K, V, keep, out, lse, dO, softmax_scale,
                                q_tile: int = 256, kv_tile: int = 256,
                                dkv_tile: int | None = None):
@@ -523,17 +687,29 @@ def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
     P = nh * nw
     D = k * k * C
     V = vp.reshape(B, P, D)
-    # K = patches of (b / ||b||) == V scaled per-channel: the norm is global
-    # per (batch, channel), so it factors out of the patch extraction; c is
-    # innermost in the packed D ordering too, so the same 16-fold tile works.
-    K = V * jnp.tile(inv_norm.reshape(B, 1, C), (1, 1, k * k))
-    Q = (V if f is b else
-         extract_patches(space_to_depth2x(f), 2, 1).reshape(B, P, D))
 
     valid = 1.0 - mask.astype(jnp.float32)
     keep = (patch_valid_ratio(valid, k, s) > th).astype(jnp.float32)
 
-    out = attention_core_pallas(Q, K, V, keep, softmax_scale=softmax_scale)
+    # K = patches of (b / ||b||) == V scaled per-channel: the norm is global
+    # per (batch, channel), so it factors out of the patch extraction; c is
+    # innermost in the packed D ordering too, so the same 16-fold tile works.
+    import os as _os
+    if f is b and _os.environ.get("SKETCHEDIT_SHARED_ATTN", "0") == "1":
+        # the released call site (editline_g.py:203-207) passes the same
+        # tensor as foreground and background: Q IS V and K is a per-
+        # channel scaling of V, so the shared kernel derives K in-register
+        # and streams ONE quadratic tensor from HBM instead of two.
+        # SKETCHEDIT_SHARED_ATTN=0 restores the two-stream kernel (A/B).
+        kscale = jnp.tile(inv_norm.reshape(B, 1, C),
+                          (1, 1, k * k)).reshape(B, D)
+        out = attention_core_pallas_shared(V, kscale, keep,
+                                           softmax_scale=softmax_scale)
+    else:
+        K = V * jnp.tile(inv_norm.reshape(B, 1, C), (1, 1, k * k))
+        Q = extract_patches(space_to_depth2x(f), 2, 1).reshape(B, P, D)
+        out = attention_core_pallas(Q, K, V, keep,
+                                    softmax_scale=softmax_scale)
     # overlap-add in the streaming dtype (4-way sums; negligible rounding,
     # halves the fold's HBM traffic on the bf16 path)
     out = out.astype(in_dtype)

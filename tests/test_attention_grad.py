@@ -120,3 +120,41 @@ def test_core_gradients_bf16_track_f32():
         np.testing.assert_allclose(np.asarray(g, dtype=np.float32),
                                    np.asarray(w), rtol=0.05,
                                    atol=0.02 * scale, err_msg=name)
+
+
+def test_shared_core_gradients_match_dense():
+    """dV/dkscale from the shared-tensor VJP (Q = V, K = V*kscale derived
+    in-kernel) vs dense-XLA gradients, unaligned N with a fully-gated
+    sample. Pins the fold-back algebra dV = dQ + dV + dK*kscale and
+    dkscale = sum_P dK*V."""
+    from sketchedit_tpu.ops.attention_pallas import (
+        attention_core_pallas_shared)
+
+    rs = np.random.RandomState(11)
+    B, N, D = 2, 170, 70
+    V = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+    ks = jnp.asarray((0.5 + rs.rand(B, D)).astype(np.float32))
+    keep = rs.rand(B, N) > 0.4
+    keep[1, :] = False
+    keep = jnp.asarray(keep.astype(np.float32))
+    cot = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+
+    def loss_dense(v, s):
+        k = v * s[:, None, :]
+        sim = jnp.einsum("bnd,bpd->bnp", v, k,
+                         precision=jax.lax.Precision.HIGHEST)
+        w = jax.nn.softmax(sim * keep[:, None, :] * 10.0, axis=-1)
+        out = jnp.einsum("bnp,bpd->bnd", w, v,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(v, s):
+        return jnp.sum(attention_core_pallas_shared(v, s, keep) * cot)
+
+    want = jax.grad(loss_dense, argnums=(0, 1))(V, ks)
+    ctx = (pltpu.force_tpu_interpret_mode() if _interpret() else _null())
+    with ctx:
+        got = jax.grad(loss_pallas, argnums=(0, 1))(V, ks)
+    for name, g, w in zip(("V", "kscale"), got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)

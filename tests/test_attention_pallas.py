@@ -76,6 +76,54 @@ def test_all_gated_uniform_weights():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_attention_core_shared_matches_dense():
+    """Shared-tensor core (Q = V, K = V*kscale derived in-kernel) vs the
+    dense oracle, unaligned N, with a fully-gated sample (uniform
+    softmax) so padding lanes can't leak."""
+    from sketchedit_tpu.ops.attention_pallas import (
+        attention_core_pallas_shared)
+
+    rs = np.random.RandomState(5)
+    B, N, D = 2, 170, 70
+    V = rs.randn(B, N, D).astype(np.float32)
+    kscale = (0.5 + rs.rand(B, D)).astype(np.float32)
+    keep = rs.rand(B, N) > 0.4
+    keep[1, :] = False
+    keep = keep.astype(np.float32)
+
+    def dense(v, ks, kp):
+        k = v * ks[:, None, :]
+        sim = jnp.einsum("bnd,bpd->bnp", v, k)
+        w = jax.nn.softmax(sim * kp[:, None, :] * 10.0, axis=-1)
+        return jnp.einsum("bnp,bpd->bnd", w, v)
+
+    want = np.asarray(dense(*map(jnp.asarray, (V, kscale, keep))))
+    ctx = pltpu.force_tpu_interpret_mode() if _interpret() else _nullctx()
+    with ctx:
+        got = np.asarray(attention_core_pallas_shared(
+            jnp.asarray(V), jnp.asarray(kscale), jnp.asarray(keep)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_contextual_attention_shared_object_matches_xla(monkeypatch):
+    """Passing the SAME array object as foreground and background (the
+    released call site, editline_g.py:203-207) routes through the
+    shared-tensor kernel when SKETCHEDIT_SHARED_ATTN=1; output must still
+    match the XLA reference."""
+    monkeypatch.setenv("SKETCHEDIT_SHARED_ATTN", "1")
+    rs = np.random.RandomState(6)
+    H, C = 16, 12
+    f = jnp.asarray(rs.randn(2, H, H, C).astype(np.float32))
+    mask = jnp.asarray((rs.rand(2, H, H, 1) > 0.5).astype(np.float32))
+
+    want = np.asarray(contextual_attention(
+        f, f, mask, precision=jax.lax.Precision.HIGHEST))
+    ctx = pltpu.force_tpu_interpret_mode() if _interpret() else _nullctx()
+    with ctx:
+        got = np.asarray(contextual_attention_pallas(f, f, mask))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 class _nullctx:
     def __enter__(self):
         return None
