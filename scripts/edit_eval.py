@@ -1,0 +1,140 @@
+"""Quantitative edit-quality evaluation: PSNR / SSIM / masked L1.
+
+The reference's test.py only writes result PNGs (/root/reference/
+test.py:20-40) — it ships no quantitative eval. This scores a checkpoint
+on the editimage reconstruction task (the training task: cut a partial
+sketch from a region's edges, reconstruct the image from image+sketch):
+
+  end-to-end   composed = edit(image, sketch)  — netM localizes, netG
+               synthesizes, soft-mask composite (eval semantics of
+               models/editline2.py). Region metrics use the sampled GT
+               region; outside-L1 measures soft-mask leakage onto pixels
+               that should pass through untouched.
+  --oracle_mask  feeds the GT region directly to netG as the hard mask
+               (netM bypassed) — the standard inpainting-quality metric,
+               independent of netM localization (which collapses to zero
+               under the reference-exact objective; docs/PARITY.md).
+
+    python scripts/edit_eval.py --checkpoints_dir ck --name celeb \
+        --image_dir imgs --items 32 [--oracle_mask] [--report out.json]
+
+Batches items and jits one metric bundle; every batch fetches only a
+handful of per-image scalars. Runs on CPU or TPU (JAX_PLATFORMS).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoints_dir", required=True)
+    ap.add_argument("--name", required=True)
+    ap.add_argument("--image_dir", required=True)
+    ap.add_argument("--items", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--load_size", type=int, default=288)
+    ap.add_argument("--crop_size", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--oracle_mask", action="store_true")
+    ap.add_argument("--report", default=None)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from sketchedit_tpu import runner
+    from sketchedit_tpu.data import find_dataset_using_name
+    from sketchedit_tpu.models import deepfill_c2, editline2
+    from sketchedit_tpu.options.train_options import TrainOptions
+    from sketchedit_tpu.utils import metrics
+
+    argv = ["prog", "--name", args.name, "--checkpoints_dir",
+            args.checkpoints_dir, "--dataset_mode", "editimage",
+            "--train_image_dir", args.image_dir,
+            "--batchSize", str(args.batch), "--load_size",
+            str(args.load_size), "--crop_size", str(args.crop_size),
+            "--preprocess_mode", "resize_and_crop", "--serial_batches",
+            "--not_om", "--compute_dtype", args.compute_dtype]
+    old, sys.argv = sys.argv, argv
+    opt = TrainOptions().parse(save=False)   # save=False: don't clobber
+    sys.argv = old                           # the train run's opt snapshot
+
+    pipe = runner.build_pipeline(opt)
+    params, config = pipe.params, pipe.config
+
+    def oracle_edit(params, image, sketch, region):
+        dt = jnp.dtype(config.compute_dtype)
+        image, sketch = image.astype(dt), sketch.astype(dt)
+        region = region.astype(dt)
+        _, fake = deepfill_c2.apply(
+            params["G"], image, image, region, region, sketch,
+            config=config.netg, precision=config.lax_precision)
+        return fake * region + image * (1.0 - region), region
+
+    @partial(jax.jit, static_argnames=("oracle",))
+    def score(params, image, sketch, region, *, oracle):
+        if oracle:
+            composed, soft = oracle_edit(params, image, sketch, region)
+        else:
+            composed, soft = editline2.edit(params, image, sketch,
+                                            config=config)
+        composed = composed.astype(jnp.float32)
+        return {
+            "psnr": metrics.psnr(composed, image),
+            "ssim": metrics.ssim(composed, image),
+            "region_psnr": metrics.masked_psnr(composed, image, region),
+            "region_l1": metrics.masked_l1(composed, image, region),
+            "outside_l1": metrics.masked_l1(composed, image, 1.0 - region),
+            "region_frac": jnp.mean(region, axis=(1, 2, 3)),
+            "soft_mass": jnp.mean(soft.astype(jnp.float32), axis=(1, 2, 3)),
+        }
+
+    ds = find_dataset_using_name("editimage")()
+    ds.initialize(opt, seed=args.seed)
+    n_items = min(args.items, len(ds))
+    if n_items == 0:
+        raise SystemExit(f"no images under {args.image_dir}")
+
+    rows = []
+    for start in range(0, n_items, args.batch):
+        idx = list(range(start, min(start + args.batch, n_items)))
+        items = [ds[i % len(ds)] for i in idx]
+        while len(items) < args.batch:      # pad last batch, sliced below
+            items.append(items[-1])
+        image = jnp.asarray(np.stack(
+            [it["image_u8"].astype(np.float32) / 127.5 - 1.0
+             for it in items]))
+        sketch = jnp.asarray(np.stack(
+            [it["mask"].astype(np.float32) for it in items]))
+        region = jnp.asarray(np.stack(
+            [it["region_gt"].astype(np.float32) for it in items]))
+        out = score(params, image, sketch, region, oracle=args.oracle_mask)
+        out = {k: np.asarray(v)[:len(idx)] for k, v in out.items()}
+        for j in range(len(idx)):
+            rows.append({k: float(v[j]) for k, v in out.items()})
+        print(f"items {idx[0]}..{idx[-1]}: " + " ".join(
+            f"{k}={out[k].mean():.3f}" for k in
+            ("psnr", "ssim", "region_psnr", "region_l1", "outside_l1")))
+
+    mean = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+    result = {"mode": "oracle_mask" if args.oracle_mask else "end_to_end",
+              "items": len(rows), "crop_size": args.crop_size,
+              "mean": mean, "per_item": rows}
+    print("MEAN:", json.dumps(mean))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(result, f, indent=1)
+        print("report ->", args.report)
+
+
+if __name__ == "__main__":
+    main()
