@@ -57,16 +57,16 @@ def main():
     from sketchedit_tpu.options.train_options import TrainOptions
     from sketchedit_tpu.utils import metrics
 
-    argv = ["prog", "--name", args.name, "--checkpoints_dir",
-            args.checkpoints_dir, "--dataset_mode", "editimage",
-            "--train_image_dir", args.image_dir,
-            "--batchSize", str(args.batch), "--load_size",
-            str(args.load_size), "--crop_size", str(args.crop_size),
-            "--preprocess_mode", "resize_and_crop", "--serial_batches",
-            "--not_om", "--compute_dtype", args.compute_dtype]
-    old, sys.argv = sys.argv, argv
-    opt = TrainOptions().parse(save=False)   # save=False: don't clobber
-    sys.argv = old                           # the train run's opt snapshot
+    from sketchedit_tpu.options import parse_argv
+    # save=False: don't clobber the train run's opt snapshot
+    opt = parse_argv(TrainOptions, [
+        "--name", args.name, "--checkpoints_dir", args.checkpoints_dir,
+        "--dataset_mode", "editimage",
+        "--train_image_dir", args.image_dir,
+        "--batchSize", str(args.batch), "--load_size",
+        str(args.load_size), "--crop_size", str(args.crop_size),
+        "--preprocess_mode", "resize_and_crop", "--serial_batches",
+        "--not_om", "--compute_dtype", args.compute_dtype], save=False)
 
     pipe = runner.build_pipeline(opt)
     params, config = pipe.params, pipe.config

@@ -47,18 +47,17 @@ def main():
     from sketchedit_tpu.data import find_dataset_using_name
     from sketchedit_tpu.options.train_options import TrainOptions
 
-    argv = ["prog", "--name", args.name, "--checkpoints_dir",
-            args.checkpoints_dir, "--dataset_mode", "editimage",
-            "--train_image_dir", args.image_dir,
-            "--batchSize", "1", "--load_size", str(args.load_size),
-            "--crop_size", str(args.crop_size), "--preprocess_mode",
-            "resize_and_crop", "--serial_batches",
-            "--not_om", "--compute_dtype", "float32"]
-    old, sys.argv = sys.argv, argv
+    from sketchedit_tpu.options import parse_argv
     # save=False: never clobber the training run's opt.txt/opt.json
     # snapshot with these eval-time flags (--load_from_opt_file reads it)
-    opt = TrainOptions().parse(save=False)
-    sys.argv = old
+    opt = parse_argv(TrainOptions, [
+        "--name", args.name, "--checkpoints_dir", args.checkpoints_dir,
+        "--dataset_mode", "editimage",
+        "--train_image_dir", args.image_dir,
+        "--batchSize", "1", "--load_size", str(args.load_size),
+        "--crop_size", str(args.crop_size), "--preprocess_mode",
+        "resize_and_crop", "--serial_batches",
+        "--not_om", "--compute_dtype", "float32"], save=False)
 
     pm = ckpt.load_network("M", opt)
     if pm is None:
@@ -80,7 +79,10 @@ def main():
         rows.append({
             "region_frac": float(region.mean()),
             "soft_inside": float(s[region].mean()) if region.any() else 0.0,
-            "soft_outside": float(s[~region].mean()),
+            # symmetric guard: a region covering every pixel leaves
+            # ~region empty and np.mean(empty) is NaN
+            "soft_outside": (float(s[~region].mean())
+                             if not region.all() else 0.0),
             "iou_0.5": float((hard & region).sum()
                              / max((hard | region).sum(), 1)),
         })

@@ -109,9 +109,14 @@ def run_train(args, workdir, extra, secs, tag):
                     max(secs, 60.0), _send_term_once, args=("timer",))
                 timed_stop.daemon = True
                 timed_stop.start()
+            # python repr prints non-finite floats lowercase (nan/inf),
+            # which json rejects — a NaN loss step must not crash the
+            # harness before the SIGTERM/checkpoint assertions run
+            raw = (m.group(4).replace("'", '"').replace(" nan", " NaN")
+                   .replace(" -inf", " -Infinity").replace(" inf", " Infinity"))
             losses.append({"epoch": int(m.group(1)), "iter": int(m.group(2)),
                            "ms_per_img": int(m.group(3)),
-                           "losses": json.loads(m.group(4).replace("'", '"'))})
+                           "losses": json.loads(raw)})
             print(f"[{tag}] {line}", flush=True)
         if "resumed full train state at step" in line:
             resumed_step = int(line.rsplit(" ", 1)[1])
@@ -138,20 +143,18 @@ def render_grid(args, workdir, out_png):
     from sketchedit_tpu.options.train_options import TrainOptions
 
     enable_persistent_cache()
-    argv = ["prog", "--name", "rtd", "--checkpoints_dir",
-            os.path.join(workdir, "ck"), "--dataset_mode", "editimage",
-            "--train_image_dir", os.path.join(workdir, "imgs"),
-            "--batchSize", "4", "--load_size", str(args.size),
-            "--crop_size", str(args.crop), "--preprocess_mode",
-            "resize_and_crop", "--use_cam", "--pool_type", "max",
-            "--joint_train_inp", "--not_om", "--serial_batches",
-            "--compute_dtype", "float32"]
-    old = sys.argv
-    sys.argv = argv
+    from sketchedit_tpu.options import parse_argv
     # save=False: don't overwrite the training run's opt snapshot with
     # these render-time flags
-    opt = TrainOptions().parse(save=False)
-    sys.argv = old
+    opt = parse_argv(TrainOptions, [
+        "--name", "rtd", "--checkpoints_dir",
+        os.path.join(workdir, "ck"), "--dataset_mode", "editimage",
+        "--train_image_dir", os.path.join(workdir, "imgs"),
+        "--batchSize", "4", "--load_size", str(args.size),
+        "--crop_size", str(args.crop), "--preprocess_mode",
+        "resize_and_crop", "--use_cam", "--pool_type", "max",
+        "--joint_train_inp", "--not_om", "--serial_batches",
+        "--compute_dtype", "float32"], save=False)
     opt.isTrain = False                      # eval-mode pipeline load
     pipe = build_pipeline(opt, require_checkpoint=True)
 

@@ -28,6 +28,7 @@ q tiles.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -416,9 +417,10 @@ def _attention_core_shared_raw(V, kscale, keep, *,
     q_tile = q_tile or tq
     kv_tile = kv_tile or tk
     # one padded array serves both streams: pad N so both tile sizes
-    # divide it (q_tile and kv_tile are powers of two here, so the max
-    # is their lcm)
-    Npad = _round_up(N, max(q_tile, kv_tile))
+    # divide it. lcm, not max: explicit non-dividing tiles (tuning use)
+    # would otherwise floor-divide the grid and silently never write the
+    # tail q rows. For the internal power-of-two tiles lcm == max.
+    Npad = _round_up(N, math.lcm(q_tile, kv_tile))
     Dp = _round_up(D, 128)
     Vp = jnp.pad(V, ((0, 0), (0, Npad - N), (0, Dp - D)))
     ks = jnp.pad(kscale.astype(V.dtype),
@@ -707,7 +709,12 @@ def contextual_attention_pallas(f, b, mask, *, patch_size: int = 4,
                                            softmax_scale=softmax_scale)
     else:
         K = V * jnp.tile(inv_norm.reshape(B, 1, C), (1, 1, k * k))
-        Q = extract_patches(space_to_depth2x(f), 2, 1).reshape(B, P, D)
+        # alias Q = V when fg is bg (the released call site) rather than
+        # re-extracting the same patches and trusting XLA CSE to dedup —
+        # a CSE miss across a remat boundary would materialize a second
+        # (B, P, D) tensor (~100 MB/step at 1024^2)
+        Q = V if f is b else \
+            extract_patches(space_to_depth2x(f), 2, 1).reshape(B, P, D)
         out = attention_core_pallas(Q, K, V, keep,
                                     softmax_scale=softmax_scale)
     # overlap-add in the streaming dtype (4-way sums; negligible rounding,

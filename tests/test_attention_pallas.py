@@ -132,6 +132,35 @@ class _nullctx:
         return False
 
 
+def test_shared_core_non_dividing_explicit_tiles():
+    """Explicit tuning tiles where neither divides the other: the shared
+    kernel must pad N to the lcm (regression: round_up to max floor-
+    divided the q grid and silently left rows >= q_tile unwritten/NaN)."""
+    from sketchedit_tpu.ops.attention_pallas import (
+        attention_core_pallas_shared)
+
+    rs = np.random.RandomState(7)
+    B, N, D = 1, 384, 64
+    V = rs.randn(B, N, D).astype(np.float32)
+    kscale = (0.5 + rs.rand(B, D)).astype(np.float32)
+    keep = (rs.rand(B, N) > 0.4).astype(np.float32)
+
+    def dense(v, ks, kp):
+        k = v * ks[:, None, :]
+        sim = jnp.einsum("bnd,bpd->bnp", v, k)
+        w = jax.nn.softmax(sim * kp[:, None, :] * 10.0, axis=-1)
+        return jnp.einsum("bnp,bpd->bnd", w, v)
+
+    want = np.asarray(dense(*map(jnp.asarray, (V, kscale, keep))))
+    ctx = pltpu.force_tpu_interpret_mode() if _interpret() else _nullctx()
+    with ctx:
+        got = np.asarray(attention_core_pallas_shared(
+            jnp.asarray(V), jnp.asarray(kscale), jnp.asarray(keep),
+            q_tile=256, kv_tile=384))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_fwd_tile_selection_respects_out_dtype():
     """bf16 streams get 512-row q tiles ONLY with a narrow out dtype; the
     differentiated path's f32 write-out must halve them — 512+f32 blows
