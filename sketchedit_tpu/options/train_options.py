@@ -83,6 +83,18 @@ class TrainOptions(BaseOptions):
                             help='color-jitter strength')
         parser.add_argument('--dataset_mode_train', type=str)
         parser.add_argument('--dataset_mode_val', type=str)
+        # held-out validation + structured metrics (train/validation.py;
+        # greenfield — the reference ships no training code)
+        parser.add_argument('--val_image_dir', type=str, default='',
+                            help='held-out image dir; when set, PSNR/SSIM/'
+                                 'mask-IoU validation runs during training')
+        parser.add_argument('--val_items', type=int, default=8,
+                            help='held-out items in the fixed val batch')
+        parser.add_argument('--val_epoch_freq', type=int, default=1,
+                            help='validate every N epochs')
+        parser.add_argument('--metrics_log', type=str, default='auto',
+                            help="JSONL metrics log: 'auto' = <run_dir>/"
+                                 "metrics.jsonl, 'off' disables, else a path")
         # bookkeeping (IterationCounter)
         parser.add_argument('--save_epoch_freq', type=int, default=10)
         parser.add_argument('--save_latest_freq', type=int, default=5000)

@@ -60,7 +60,9 @@ def test_trainpy_cli_smoke(tmp_path):
            "--save_epoch_freq", "1", "--print_freq", "2",
            # mask supervision through the real CLI: region_gt must ride the
            # packed transfer and Mrec must reach the printed metrics
-           "--lambda_mask_rec", "2.0"]
+           "--lambda_mask_rec", "2.0",
+           # held-out validation + JSONL metrics through the real CLI
+           "--val_image_dir", str(imgs), "--val_items", "2"]
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
                          env=env, cwd=REPO)
     assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
@@ -73,6 +75,16 @@ def test_trainpy_cli_smoke(tmp_path):
     assert "iter.txt" in files
     assert "End of epoch 1" in res.stdout
     assert "'Mrec':" in res.stdout
+    # validation ran through the eval path and metrics.jsonl has both kinds
+    assert "validation epoch 1:" in res.stdout
+    import json
+    rows = [json.loads(l) for l in open(ckdir / "metrics.jsonl")]
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"train", "val"}
+    val = [r for r in rows if r["kind"] == "val"][-1]
+    for k in ("psnr", "ssim", "region_psnr", "region_l1", "outside_l1",
+              "mask_iou"):
+        assert np.isfinite(val[k]), k
 
 
 def test_trainpy_sigterm_checkpoints_before_exit(tmp_path):

@@ -164,6 +164,13 @@ def main():
                 shard_batch(mesh, *device_batch.values())))
         return device_batch, step_fn
 
+    from sketchedit_tpu.train.validation import MetricsLog, build_validator
+    metrics_log = MetricsLog.from_opt(opt)
+    validator = build_validator(opt, cfg)
+    if validator is not None:
+        print(f"validation: {validator.image.shape[0]} held-out items "
+              f"from {opt.val_image_dir} every {opt.val_epoch_freq} epochs")
+
     iter_counter = IterationCounter(opt, len(dataloader.dataset))
     key = jax.random.PRNGKey(opt.niter)
     if int(state["step"]):
@@ -228,11 +235,25 @@ def main():
                 print(f"epoch {epoch} iter {iter_counter.epoch_iter} "
                       f"({iter_counter.time_per_iter*1000:.0f} ms/img) "
                       f"{vals}")
+                if metrics_log is not None:
+                    metrics_log.log({
+                        "kind": "train", "epoch": epoch,
+                        "iter": iter_counter.epoch_iter,
+                        "ms_per_img": round(
+                            iter_counter.time_per_iter * 1000, 1),
+                        "losses": vals})
             if iter_counter.needs_saving():
                 ckpt.save_pipeline(state["params"], "latest", opt)
                 ckpt.save_train_state(jax.device_get(state), opt)
                 iter_counter.record_current_iter()
         iter_counter.record_epoch_end()
+        if validator is not None and (epoch % opt.val_epoch_freq == 0
+                                      or epoch == iter_counter.total_epochs):
+            vals = {k: round(v, 4)
+                    for k, v in validator.run(state["params"]).items()}
+            print(f"validation epoch {epoch}: {vals}", flush=True)
+            if metrics_log is not None:
+                metrics_log.log({"kind": "val", "epoch": epoch, **vals})
         if (epoch % opt.save_epoch_freq == 0
                 or epoch == iter_counter.total_epochs):
             ckpt.save_pipeline(state["params"], "latest", opt)
