@@ -49,6 +49,39 @@ class MetricsLog:
         self._f.write("\n")
 
 
+# sign convention for --val_track best-checkpoint selection
+HIGHER_IS_BETTER = {"psnr": True, "ssim": True, "region_psnr": True,
+                    "mask_iou": True, "region_l1": False,
+                    "outside_l1": False}
+
+
+def is_improvement(metric: str, value: float, best: float | None) -> bool:
+    if best is None:
+        return True
+    return value > best if HIGHER_IS_BETTER[metric] else value < best
+
+
+def recover_best(metrics_log_path: str, metric: str) -> float | None:
+    """Best tracked val value recorded in an existing metrics.jsonl —
+    lets --continue_train keep the historic best instead of overwriting
+    best_net_* with the first post-resume validation."""
+    if not os.path.exists(metrics_log_path):
+        return None
+    best = None
+    with open(metrics_log_path) as f:
+        for line in f:
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue                      # torn tail line from a kill
+            if row.get("kind") == "val" and metric in row:
+                v = row[metric]
+                if isinstance(v, (int, float)) and not np.isnan(v) \
+                        and is_improvement(metric, v, best):
+                    best = float(v)
+    return best
+
+
 def build_validator(opt, train_cfg):
     """A Validator over --val_image_dir, or None when the flag is unset."""
     val_dir = getattr(opt, "val_image_dir", "")

@@ -85,6 +85,9 @@ def test_trainpy_cli_smoke(tmp_path):
     for k in ("psnr", "ssim", "region_psnr", "region_l1", "outside_l1",
               "mask_iou"):
         assert np.isfinite(val[k]), k
+    # first validation is always an improvement -> best snapshot saved
+    assert val.get("best") is True
+    assert "best_net_G.npz" in os.listdir(ckdir)
 
 
 def test_trainpy_sigterm_checkpoints_before_exit(tmp_path):

@@ -80,6 +80,30 @@ def test_build_validator_off_without_flag(tmp_path):
     assert build_validator(opt, TrainConfig()) is None
 
 
+def test_is_improvement_signs():
+    from sketchedit_tpu.train.validation import is_improvement
+    assert is_improvement("psnr", 10.0, None)
+    assert is_improvement("psnr", 11.0, 10.0)
+    assert not is_improvement("psnr", 9.0, 10.0)
+    assert is_improvement("region_l1", 0.1, 0.2)      # lower is better
+    assert not is_improvement("region_l1", 0.3, 0.2)
+
+
+def test_recover_best_from_jsonl(tmp_path):
+    from sketchedit_tpu.train.validation import recover_best
+    p = tmp_path / "metrics.jsonl"
+    with open(p, "w") as f:
+        f.write('{"kind": "train", "losses": {}}\n')
+        f.write('{"kind": "val", "epoch": 1, "psnr": 18.0, "region_l1": 0.3}\n')
+        f.write('{"kind": "val", "epoch": 2, "psnr": 21.5, "region_l1": 0.2}\n')
+        f.write('{"kind": "val", "epoch": 3, "psnr": 20.0, "region_l1": NaN}\n')
+        f.write('{"kind": "val", "epoch": 4, "psnr"')   # torn tail line
+    assert recover_best(str(p), "psnr") == 21.5
+    assert recover_best(str(p), "region_l1") == 0.2
+    assert recover_best(str(p), "mask_iou") is None
+    assert recover_best(str(tmp_path / "absent.jsonl"), "psnr") is None
+
+
 def test_metrics_log_modes(tmp_path):
     run_dir = tmp_path / "ck" / "run"
     base = dict(checkpoints_dir=str(tmp_path / "ck"), name="run")

@@ -164,12 +164,19 @@ def main():
                 shard_batch(mesh, *device_batch.values())))
         return device_batch, step_fn
 
-    from sketchedit_tpu.train.validation import MetricsLog, build_validator
+    from sketchedit_tpu.train.validation import (
+        MetricsLog, build_validator, is_improvement, recover_best)
     metrics_log = MetricsLog.from_opt(opt)
     validator = build_validator(opt, cfg)
+    best_val = None
+    if opt.continue_train and metrics_log is not None:
+        best_val = recover_best(metrics_log.path, opt.val_track)
+        if best_val is not None:
+            print(f"resumed best {opt.val_track} = {best_val}")
     if validator is not None:
         print(f"validation: {validator.image.shape[0]} held-out items "
-              f"from {opt.val_image_dir} every {opt.val_epoch_freq} epochs")
+              f"from {opt.val_image_dir} every {opt.val_epoch_freq} epochs "
+              f"(best checkpoint tracks {opt.val_track})")
 
     iter_counter = IterationCounter(opt, len(dataloader.dataset))
     key = jax.random.PRNGKey(opt.niter)
@@ -251,6 +258,10 @@ def main():
                                       or epoch == iter_counter.total_epochs):
             vals = {k: round(v, 4)
                     for k, v in validator.run(state["params"]).items()}
+            if is_improvement(opt.val_track, vals[opt.val_track], best_val):
+                best_val = vals[opt.val_track]
+                ckpt.save_pipeline(state["params"], "best", opt)
+                vals["best"] = True     # marks the row metrics.jsonl keeps
             print(f"validation epoch {epoch}: {vals}", flush=True)
             if metrics_log is not None:
                 metrics_log.log({"kind": "val", "epoch": epoch, **vals})
