@@ -22,6 +22,7 @@ import io
 import json
 import os
 import sys
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -120,6 +121,13 @@ def main():
     print("warmup done")
 
     MAX_BODY = 64 * 1024 * 1024          # 2x a 4096^2 PNG pair, generous
+    started_at = time.time()
+    http_counts = {"ok": 0, "client_error": 0, "server_error": 0}
+    http_lock = threading.Lock()
+
+    def _count(kind):
+        with http_lock:
+            http_counts[kind] += 1
 
     class Handler(BaseHTTPRequestHandler):
         # socket timeout: a client that sends fewer bytes than its
@@ -129,8 +137,36 @@ def main():
         def log_message(self, *a):
             pass
 
+        def do_GET(self):
+            # ops endpoints: the server binds only after warmup, so a
+            # 200 from /healthz means "compiled and serving" (readiness
+            # == liveness here)
+            if self.path == "/healthz":
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+            elif self.path == "/stats":
+                with http_lock:
+                    counts = dict(http_counts)
+                body = json.dumps({
+                    "uptime_s": round(time.time() - started_at, 1),
+                    "edit_size": edit_size,
+                    "max_batch": opt.max_batch,
+                    "http": counts,
+                    "executor": executor.stats(),
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+            else:
+                self.send_error(404)
+                return
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path != "/edit":
+                _count("client_error")
                 self.send_error(404)
                 return
             try:
@@ -139,6 +175,7 @@ def main():
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     if length > MAX_BODY:
+                        _count("client_error")
                         self.send_error(413, "request body too large")
                         return
                     payload = json.loads(self.rfile.read(length))
@@ -150,6 +187,7 @@ def main():
                         ValueError, OSError) as e:
                     # TypeError covers valid-JSON non-object bodies
                     # ("abc", [1]) and non-string b64 fields
+                    _count("client_error")
                     self.send_error(
                         400, f"bad request: {type(e).__name__}: "
                              f"{str(e)[:160]}")
@@ -187,9 +225,11 @@ def main():
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                _count("ok")
             except Exception as e:                  # pragma: no cover
                 import traceback
                 traceback.print_exc()
+                _count("server_error")
                 self.send_error(500, str(e)[:200])
 
     class Server(ThreadingHTTPServer):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time as _time
 from concurrent.futures import Future
 
 import numpy as np
@@ -33,6 +34,28 @@ def _bucket(n: int, max_batch: int) -> int:
         if b >= n:
             return min(b, max_batch)
     return max_batch
+
+
+class _RingStat:
+    """Fixed-size sample ring for percentile snapshots (no unbounded
+    growth on a long-lived server)."""
+
+    def __init__(self, cap: int):
+        self._buf = [0.0] * cap
+        self._n = 0
+        self._cap = cap
+
+    def add(self, v: float):
+        self._buf[self._n % self._cap] = v
+        self._n += 1
+
+    def percentiles(self, qs=(50, 95, 99)) -> dict:
+        m = min(self._n, self._cap)
+        if m == 0:
+            return {f"p{q}": None for q in qs}
+        s = sorted(self._buf[:m])
+        return {f"p{q}": round(s[min(m - 1, int(m * q / 100))], 2)
+                for q in qs}
 
 
 class BatchingExecutor:
@@ -53,6 +76,14 @@ class BatchingExecutor:
         # stop-set: nothing can enqueue after _stop is set, so the
         # post-join drain in shutdown() provably sees every unserved item
         self._submit_lock = threading.Lock()
+        # serving statistics (GET /stats): guarded by its own lock so the
+        # dispatcher never contends with submitters
+        self._stats_lock = threading.Lock()
+        self._served = 0
+        self._batches = 0
+        self._batch_errors = 0
+        self._batch_hist: dict[int, int] = {}
+        self._dispatch_ms = _RingStat(512)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -133,7 +164,14 @@ class BatchingExecutor:
                                   + [items[-1][0]] * (b - n))
                 sketches = np.stack([it[1] for it in items]
                                     + [items[-1][1]] * (b - n))
+                t0 = _time.perf_counter()
                 composed, mask = self.pipeline(images, sketches)
+                dt_ms = (_time.perf_counter() - t0) * 1000.0
+                with self._stats_lock:
+                    self._served += n
+                    self._batches += 1
+                    self._batch_hist[b] = self._batch_hist.get(b, 0) + 1
+                    self._dispatch_ms.add(dt_ms)
                 for i, (_, _, fut) in enumerate(items):
                     try:
                         # returns False iff the caller cancelled; afterwards
@@ -144,12 +182,31 @@ class BatchingExecutor:
                     except Exception:   # already-resolved future: only its
                         pass            # own result is lost, not the batch's
             except Exception as e:
+                with self._stats_lock:
+                    self._batch_errors += 1
                 for _, _, fut in items:
                     try:
                         if not fut.done():
                             fut.set_exception(e)
                     except Exception:   # racing cancel(); never kill _loop
                         pass
+
+    def stats(self) -> dict:
+        """Snapshot of serving counters (thread-safe, cheap)."""
+        with self._stats_lock:
+            hist = dict(sorted(self._batch_hist.items()))
+            served, batches = self._served, self._batches
+            errors = self._batch_errors
+            pct = self._dispatch_ms.percentiles()
+        return {
+            "requests_served": served,
+            "batches_dispatched": batches,
+            "batch_errors": errors,
+            "batch_size_histogram": hist,
+            "mean_batch_fill": round(served / batches, 2) if batches else None,
+            "dispatch_ms": pct,          # device step incl. host<->device
+            "queue_depth": self._q.qsize(),
+        }
 
     def shutdown(self):
         with self._submit_lock:

@@ -144,6 +144,42 @@ def test_wrong_path_is_404(api_server):
     assert status == 404
 
 
+def test_healthz_and_stats(api_server):
+    """Ops endpoints: /healthz answers after warmup; /stats reflects the
+    traffic this test file already sent through the executor."""
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{api_server}/healthz", timeout=30) as r:
+        assert r.status == 200 and r.read() == b"ok"
+    # one known-good edit so the counters are provably nonzero even if
+    # this test runs first
+    rs = np.random.RandomState(2)
+    img = (rs.rand(64, 64, 3) * 255).astype(np.uint8)
+    sk = ((rs.rand(64, 64) > 0.97) * 255).astype(np.uint8)
+    status, _ = _post(api_server, {"image": _b64_png(img),
+                                   "sketch": _b64_png(sk)})
+    assert status == 200
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{api_server}/stats", timeout=30) as r:
+        assert r.status == 200
+        stats = json.loads(r.read())
+    assert stats["http"]["ok"] >= 1
+    ex = stats["executor"]
+    assert ex["requests_served"] >= 1
+    assert ex["batches_dispatched"] >= 1
+    assert ex["batch_errors"] == 0
+    assert sum(ex["batch_size_histogram"].values()) \
+        == ex["batches_dispatched"]
+    assert ex["dispatch_ms"]["p50"] is not None
+    # unknown GET path stays 404
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{api_server}/nope", timeout=30) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
+
+
 def _post_path(port, path):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}", data=b"{}",
