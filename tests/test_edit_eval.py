@@ -12,11 +12,19 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
        "SKETCHEDIT_CACHE_DIR": os.path.join(REPO, ".jax_cache")}
+# prefer the staged workspace copy (datasets/ is gitignored reference-derived
+# content); fall back to the reference checkout so a fresh clone still runs
 IMAGES = os.path.join(REPO, "datasets", "face_release", "images")
+if not os.path.isdir(IMAGES):
+    IMAGES = "/root/reference/datasets/face_release/images"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(IMAGES),
+    reason="no face_release fixtures staged and no reference checkout")
 
 
 def _run(tmp_path, *extra):
