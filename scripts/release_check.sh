@@ -3,6 +3,19 @@
 set -e -o pipefail    # pipes through tail/tee must not mask failures
 cd "$(dirname "$0")/.."
 
+echo "=== 0/7 packaging: install into a scratch target, import from a clean interpreter ==="
+PKG_TARGET=$(mktemp -d)
+pip install --quiet --no-deps --no-build-isolation --target "$PKG_TARGET" .
+(cd /tmp && PYTHONPATH="$PKG_TARGET" JAX_PLATFORMS=cpu python - <<'EOF'
+import sketchedit_tpu
+from sketchedit_tpu.cli import test_main, train_main, serve_main, demo_main
+from sketchedit_tpu.runner import build_pipeline
+from sketchedit_tpu.models import editline2
+print("package import ok:", sketchedit_tpu.__name__)
+EOF
+)
+rm -rf "$PKG_TARGET"
+
 echo "=== 1/6 unit + parity suite (CPU) ==="
 python -m pytest tests/ -q
 
