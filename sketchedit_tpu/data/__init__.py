@@ -200,7 +200,11 @@ class DataLoader:
             return
 
         import os
-        if self.num_workers > 1 and (os.cpu_count() or 1) > 1:
+        # SKETCHEDIT_FORCE_PROCESS_WORKERS=1 bypasses the single-core clamp
+        # (tests prove the spawn-pool path's determinism on this 1-core
+        # host; production multi-core hosts take it whenever nThreads > 1)
+        force = os.environ.get("SKETCHEDIT_FORCE_PROCESS_WORKERS") == "1"
+        if self.num_workers > 1 and ((os.cpu_count() or 1) > 1 or force):
             yield from self._iter_processes()
             return
 

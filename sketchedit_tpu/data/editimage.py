@@ -16,7 +16,7 @@ import numpy as np
 from PIL import Image
 
 from sketchedit_tpu.data.transforms import (
-    get_params, apply_transform, color_jitter)
+    get_params, apply_resize, crop_flip_array, color_jitter)
 from sketchedit_tpu.data.mask_creator import MaskCreator, external_mask
 from sketchedit_tpu.data.image_folder import make_dataset
 
@@ -36,6 +36,12 @@ class EditImageDataset:
                             help='optional explicit file list')
         parser.add_argument('--canny_low', type=int, default=100)
         parser.add_argument('--canny_high', type=int, default=200)
+        parser.add_argument('--decode_cache_mb', type=int, default=512,
+                            help='cache decoded+resized uint8 frames across '
+                                 'epochs up to this many MB (0 disables); '
+                                 'the resize stage is deterministic, so only '
+                                 'crop/flip/Canny/mask synthesis stay '
+                                 'per-epoch work for cached items')
         return parser
 
     def initialize(self, opt, seed: int = 0):
@@ -54,6 +60,10 @@ class EditImageDataset:
             getattr(opt, 'path_objectshape_list', None),
             getattr(opt, 'path_objectshape_base', None),
             rng=self.rng)
+        self._cache: dict = {}
+        self._cache_bytes = 0
+        self._cache_cap = int(
+            getattr(opt, 'decode_cache_mb', 512)) * (1 << 20)
 
     def __len__(self):
         return len(self.paths)
@@ -70,11 +80,29 @@ class EditImageDataset:
         e = cv2.Canny(gray, self.opt.canny_low, self.opt.canny_high)
         return (e > 0)[:, :, None]          # bool (compact protocol)
 
+    def _resized_u8(self, index) -> np.ndarray:
+        """Decoded + deterministically-resized frame, cached across epochs
+        up to --decode_cache_mb (first-come; small datasets fit whole).
+        Decode+resize is the only per-item stage whose result never
+        changes, so caching it leaves crop/flip/Canny/mask synthesis as
+        the entire steady-state item cost."""
+        arr = self._cache.get(index)
+        if arr is None:
+            img = Image.open(self.paths[index]).convert('RGB')
+            arr = np.asarray(apply_resize(self.opt, img), dtype=np.uint8)
+            if self._cache_bytes + arr.nbytes <= self._cache_cap:
+                self._cache[index] = arr
+                self._cache_bytes += arr.nbytes
+        return arr
+
     def __getitem__(self, index):
-        img = Image.open(self.paths[index]).convert('RGB')
-        params = get_params(self.opt, img.size, self.rng)
-        img = apply_transform(self.opt, img, params)
-        img_u8 = np.asarray(img, dtype=np.uint8)
+        frame = self._resized_u8(index)
+        # crop bounds come from the resized frame's actual size — identical
+        # to the reference's new_size computation for every mode (the
+        # resize stage realizes exactly that size)
+        params = get_params(self.opt, (frame.shape[1], frame.shape[0]),
+                            self.rng)
+        img_u8 = crop_flip_array(self.opt, frame, params)
         h, w = img_u8.shape[:2]
 
         edgegt = self._edges(img_u8)
@@ -85,8 +113,10 @@ class EditImageDataset:
 
         # --cjit: photometric-only, after edge extraction (edges describe
         # the un-jittered structure; a jittered binary map would be corrupt)
-        img_j = color_jitter(img, params.jitter)
-        img_out = img_u8 if img_j is img else np.asarray(img_j, np.uint8)
+        img_out = img_u8
+        if params.jitter is not None:
+            img_j = color_jitter(Image.fromarray(img_u8), params.jitter)
+            img_out = np.asarray(img_j, np.uint8)
 
         # Compact item protocol: uint8 image + bool masks, no duplicated
         # 'gt' — ~6x fewer bytes per item than float32 (2.56MB -> 0.44MB at

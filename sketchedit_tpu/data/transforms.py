@@ -80,8 +80,11 @@ def _scale_shortside(img, target, method):
     return img.resize((nw, nh), method)
 
 
-def apply_transform(opt, img: Image.Image, params: TransformParams, *,
-                    method=Image.BICUBIC, is_train: bool | None = None):
+def apply_resize(opt, img: Image.Image, *, method=Image.BICUBIC):
+    """The DETERMINISTIC stage of apply_transform (no TransformParams
+    input): resize / scale_width / scale_shortside / none-rounding /
+    fixed. Split out so loaders can cache its result across epochs — only
+    the crop/flip/jitter stages draw randomness."""
     mode = opt.preprocess_mode
     if 'resize' in mode:
         # identity resize is exact under any PIL filter (the sample grid
@@ -95,10 +98,6 @@ def apply_transform(opt, img: Image.Image, params: TransformParams, *,
     elif 'scale_shortside' in mode:
         img = _scale_shortside(img, opt.load_size, method)
 
-    if 'crop' in mode:
-        x, y = params.crop_pos
-        img = img.crop((x, y, x + opt.crop_size, y + opt.crop_size))
-
     if mode == 'none':
         base = 32
         ow, oh = img.size
@@ -110,11 +109,50 @@ def apply_transform(opt, img: Image.Image, params: TransformParams, *,
         w = opt.crop_size
         h = round(opt.crop_size / opt.aspect_ratio)
         img = img.resize((w, h), method)
+    return img
 
+
+def apply_crop_flip(opt, img: Image.Image, params: TransformParams, *,
+                    is_train: bool | None = None):
+    """The RANDOM stage: crop at params.crop_pos, then train-time flip.
+    (No mode both crops and none/fixed-resizes, so running the crop after
+    apply_resize is order-equivalent to the original fused transform.)"""
+    mode = opt.preprocess_mode
+    if 'crop' in mode:
+        x, y = params.crop_pos
+        img = img.crop((x, y, x + opt.crop_size, y + opt.crop_size))
     is_train = opt.isTrain if is_train is None else is_train
     if is_train and not getattr(opt, 'no_flip', True) and params.flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     return img
+
+
+def crop_flip_array(opt, arr: np.ndarray, params: TransformParams, *,
+                    is_train: bool | None = None) -> np.ndarray:
+    """apply_crop_flip on a decoded HWC uint8 array (the cached-decode
+    path): numpy slicing instead of PIL ops — same pixels."""
+    mode = opt.preprocess_mode
+    if 'crop' in mode:
+        x, y = params.crop_pos
+        cs = opt.crop_size
+        sub = arr[y:y + cs, x:x + cs]
+        if sub.shape[:2] != (cs, cs):
+            # PIL .crop zero-pads beyond the image bounds (reachable when
+            # load_size < crop_size); match it
+            out = np.zeros((cs, cs) + arr.shape[2:], arr.dtype)
+            out[:sub.shape[0], :sub.shape[1]] = sub
+            sub = out
+        arr = sub
+    is_train = opt.isTrain if is_train is None else is_train
+    if is_train and not getattr(opt, 'no_flip', True) and params.flip:
+        arr = arr[:, ::-1]
+    return np.ascontiguousarray(arr)
+
+
+def apply_transform(opt, img: Image.Image, params: TransformParams, *,
+                    method=Image.BICUBIC, is_train: bool | None = None):
+    return apply_crop_flip(opt, apply_resize(opt, img, method=method),
+                           params, is_train=is_train)
 
 
 def color_jitter(img: Image.Image, jitter) -> Image.Image:
