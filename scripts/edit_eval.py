@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--oracle_mask", action="store_true")
+    ap.add_argument("--which_epoch", default="latest",
+                    help="checkpoint tag ('latest', 'best', or an epoch)")
     ap.add_argument("--report", default=None)
     args = ap.parse_args()
 
@@ -66,7 +68,8 @@ def main():
         "--batchSize", str(args.batch), "--load_size",
         str(args.load_size), "--crop_size", str(args.crop_size),
         "--preprocess_mode", "resize_and_crop", "--serial_batches",
-        "--not_om", "--compute_dtype", args.compute_dtype], save=False)
+        "--not_om", "--compute_dtype", args.compute_dtype,
+        "--which_epoch", args.which_epoch], save=False)
 
     pipe = runner.build_pipeline(opt)
     params, config = pipe.params, pipe.config

@@ -1,0 +1,210 @@
+"""Held-out-quality training run (VERDICT r3 item 3).
+
+Stages N variants of the 8 bundled release photos, splits them BY SOURCE
+PHOTO (variants of 6 photos train; variants of the other 2 are never seen
+— content-held-out, the strongest split this environment's 8 real images
+admit), trains with in-training validation + best-checkpoint tracking +
+--lambda_mask_rec, then scores the BEST checkpoint on the held-out split
+only (edit_eval end-to-end + oracle-mask, mask_eval IoU) against a
+fresh-init baseline, and renders a held-out grid PNG.
+
+    python scripts/heldout_train_eval.py --workdir /tmp/heldout \
+        --train_secs 3600 --report REAL_TRAIN_r4.json
+
+Run on TPU (default env); JAX_PLATFORMS=cpu smoke-runs in minutes with
+--train_secs 60 --images 32.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.real_train_demo import run_train  # noqa: E402
+
+VAL_SOURCES = (6, 7)     # staged_%05d.jpg uses source photo i % 8
+
+
+def split_stage(workdir, count, size):
+    from scripts.stage_train_images import stage
+    all_dir = os.path.join(workdir, "all")
+    train_dir = os.path.join(workdir, "imgs")   # run_train's fixed layout
+    val_dir = os.path.join(workdir, "val")
+    if os.path.isdir(train_dir) and os.listdir(train_dir):
+        return train_dir, val_dir
+    os.makedirs(all_dir, exist_ok=True)
+    written = stage(all_dir, count, size)
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(val_dir, exist_ok=True)
+    n_val = 0
+    for p in written:
+        i = int(os.path.basename(p).split("_")[1].split(".")[0])
+        dst = val_dir if (i % 8) in VAL_SOURCES else train_dir
+        os.link(p, os.path.join(dst, os.path.basename(p)))
+        n_val += dst == val_dir
+    print(f"split: {count - n_val} train / {n_val} held-out "
+          f"(sources {VAL_SOURCES} unseen in training)")
+    return train_dir, val_dir
+
+
+def run_eval(script, ck, name, image_dir, out_json, extra=()):
+    cmd = [sys.executable, os.path.join(REPO, "scripts", script),
+           "--checkpoints_dir", ck, "--name", name,
+           "--image_dir", image_dir, "--report", out_json] + list(extra)
+    res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                         timeout=3600, env={**os.environ})
+    if res.returncode != 0:
+        raise RuntimeError(f"{script} failed:\n{res.stdout[-2000:]}\n"
+                           f"{res.stderr[-2000:]}")
+    print(res.stdout.strip().splitlines()[-1])
+    with open(out_json) as f:
+        return json.load(f)
+
+
+def val_curve(metrics_jsonl):
+    """Validation rows (kind == 'val') from the training metrics log."""
+    rows = []
+    with open(metrics_jsonl) as f:
+        for line in f:
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if d.get("kind") == "val":
+                rows.append(d)
+    return rows
+
+
+def render_grid(workdir, val_dir, size, crop, out_png):
+    import numpy as np
+    from PIL import Image
+    from sketchedit_tpu.runner import build_pipeline, enable_persistent_cache
+    from sketchedit_tpu.data import find_dataset_using_name
+    from sketchedit_tpu.options.train_options import TrainOptions
+    from sketchedit_tpu.options import parse_argv
+
+    enable_persistent_cache()
+    opt = parse_argv(TrainOptions, [
+        "--name", "rtd", "--checkpoints_dir", os.path.join(workdir, "ck"),
+        "--dataset_mode", "editimage", "--train_image_dir", val_dir,
+        "--batchSize", "4", "--load_size", str(size),
+        "--crop_size", str(crop), "--preprocess_mode", "resize_and_crop",
+        "--use_cam", "--pool_type", "max", "--joint_train_inp", "--not_om",
+        "--serial_batches", "--compute_dtype", "float32",
+        "--which_epoch", "best"], save=False)
+    opt.isTrain = False
+    pipe = build_pipeline(opt, require_checkpoint=True)
+    ds = find_dataset_using_name("editimage")()
+    opt.isTrain = True
+    ds.initialize(opt, seed=123)
+    rows = []
+    for i in range(4):
+        item = ds[i]
+        img = item["image_u8"].astype(np.float32) / 127.5 - 1.0
+        sketch = item["mask"].astype(np.float32)
+        composed, mask = pipe(img[None], sketch[None])
+        to_u8 = lambda x: ((np.clip(x, -1, 1) + 1) * 127.5).astype(np.uint8)
+        gray3 = lambda m: np.repeat(
+            (np.clip(m, 0, 1) * 255).astype(np.uint8), 3, axis=-1)
+        rows.append(np.concatenate(
+            [item["image_u8"], gray3(sketch), gray3(np.asarray(mask[0])),
+             to_u8(np.asarray(composed[0]))], axis=1))
+    Image.fromarray(np.concatenate(rows, axis=0)).save(out_png)
+    print(f"held-out grid (input | sketch | mask | edit) -> {out_png}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/heldout")
+    ap.add_argument("--images", type=int, default=512)
+    ap.add_argument("--size", type=int, default=288)
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--lambda_mask_rec", type=float, default=2.0)
+    ap.add_argument("--print_iters", type=int, default=20)
+    ap.add_argument("--train_secs", type=float, default=3600)
+    ap.add_argument("--val_epoch_freq", type=int, default=5)
+    ap.add_argument("--eval_items", type=int, default=48)
+    ap.add_argument("--report", default=None)
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    train_dir, val_dir = split_stage(args.workdir, args.images, args.size)
+    ck = os.path.join(args.workdir, "ck")
+    eval_extra = ("--items", str(args.eval_items),
+                  "--load_size", str(args.size),
+                  "--crop_size", str(args.crop))
+
+    # fresh-init baseline on the held-out split (edit_eval falls back to
+    # fresh init when the checkpoint dir is empty)
+    baseline = run_eval("edit_eval.py", os.path.join(args.workdir, "fresh"),
+                        "fresh", val_dir,
+                        os.path.join(args.workdir, "baseline.json"),
+                        eval_extra)
+
+    losses, _, rc = run_train(
+        args, args.workdir,
+        ["--val_image_dir", val_dir,
+         "--val_epoch_freq", str(args.val_epoch_freq),
+         "--val_items", "8", "--val_track", "psnr"],
+        args.train_secs, "train")
+    assert losses, "no loss lines parsed"
+    curve = val_curve(os.path.join(ck, "rtd", "metrics.jsonl"))
+    assert curve, "no validation rows in metrics.jsonl"
+    best_rows = [r for r in curve if r.get("best")]
+    assert os.path.exists(os.path.join(ck, "rtd", "best_net_M.npz")), \
+        "best checkpoint was never snapshotted"
+
+    heldout = run_eval("edit_eval.py", ck, "rtd", val_dir,
+                       os.path.join(args.workdir, "heldout_e2e.json"),
+                       eval_extra + ("--which_epoch", "best"))
+    heldout_oracle = run_eval(
+        "edit_eval.py", ck, "rtd", val_dir,
+        os.path.join(args.workdir, "heldout_oracle.json"),
+        eval_extra + ("--which_epoch", "best", "--oracle_mask"))
+    mask_iou = run_eval("mask_eval.py", ck, "rtd", val_dir,
+                        os.path.join(args.workdir, "heldout_mask.json"),
+                        ("--items", "16", "--load_size", str(args.size),
+                         "--crop_size", str(args.crop),
+                         "--which_epoch", "best"))
+
+    grid_png = os.path.join(args.workdir, "heldout_grid.png")
+    render_grid(args.workdir, val_dir, args.size, args.crop, grid_png)
+
+    ms = sorted(d["ms_per_img"] for d in losses)
+    report = {
+        "what": "held-out-quality training: sources 6-7 of the 8 bundled "
+                "photos unseen in training; BEST checkpoint (val psnr) "
+                "scored on the held-out split only",
+        "staged_images": args.images, "batch": args.batch,
+        "crop": args.crop, "compute_dtype": args.compute_dtype,
+        "lambda_mask_rec": args.lambda_mask_rec,
+        "train_exit": rc, "steps_seen": losses[-1]["iter"],
+        "images_per_sec": round(1000.0 / ms[len(ms) // 2], 1),
+        "val_curve": [{k: r.get(k) for k in
+                       ("epoch", "psnr", "ssim", "region_psnr", "mask_iou",
+                        "best") if k in r} for r in curve],
+        "n_best_improvements": len(best_rows),
+        "fresh_init_baseline": {"mean": baseline["mean"],
+                                "items": baseline["items"]},
+        "heldout_e2e": {"mean": heldout["mean"], "items": heldout["items"]},
+        "heldout_oracle_mask": {"mean": heldout_oracle["mean"]},
+        "heldout_mask_eval": mask_iou,
+        "grid_png": grid_png,
+    }
+    blob = json.dumps(report, indent=1)
+    print(blob[:2000])
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(blob + "\n")
+        print("report ->", args.report)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--load_size", type=int, default=288)
     ap.add_argument("--crop_size", type=int, default=256)
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--which_epoch", default="latest",
+                    help="checkpoint tag ('latest', 'best', or an epoch)")
     ap.add_argument("--report", default=None)
     args = ap.parse_args()
 
@@ -57,7 +59,8 @@ def main():
         "--batchSize", "1", "--load_size", str(args.load_size),
         "--crop_size", str(args.crop_size), "--preprocess_mode",
         "resize_and_crop", "--serial_batches",
-        "--not_om", "--compute_dtype", "float32"], save=False)
+        "--not_om", "--compute_dtype", "float32",
+        "--which_epoch", args.which_epoch], save=False)
 
     pm = ckpt.load_network("M", opt)
     if pm is None:
