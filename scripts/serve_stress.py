@@ -29,19 +29,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _payload(size):
+def _payload(size, kind="png"):
     import numpy as np
     from PIL import Image
     rs = np.random.RandomState(0)
+    img = (rs.rand(size, size, 3) * 255).astype(np.uint8)
+    sk = ((rs.rand(size, size) > 0.97) * 255).astype(np.uint8)
+
+    if kind == "raw":
+        from sketchedit_tpu.server import rawproto
+        return rawproto.encode(img, sk), "application/octet-stream"
 
     def png(arr):
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode()
 
-    img = (rs.rand(size, size, 3) * 255).astype(np.uint8)
-    sk = ((rs.rand(size, size) > 0.97) * 255).astype(np.uint8)
-    return json.dumps({"image": png(img), "sketch": png(sk)}).encode()
+    return (json.dumps({"image": png(img), "sketch": png(sk)}).encode(),
+            "application/json")
 
 
 def spawn_server(port):
@@ -83,11 +88,15 @@ def main():
     ap.add_argument("--secs", type=float, default=60.0)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--port", type=int, default=19876)
-    ap.add_argument("--out", default=os.path.join(REPO, "SERVING_r3.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "SERVING_r4.json"))
     ap.add_argument("--attach", action="store_true")
+    ap.add_argument("--payload", choices=("png", "raw"), default="png",
+                    help="'raw' uses the octet-stream binary protocol "
+                         "(server/rawproto.py) — no PNG codec on either "
+                         "side")
     args = ap.parse_args()
 
-    body = _payload(args.size)
+    body, content_type = _payload(args.size, args.payload)
     proc = None if args.attach else spawn_server(args.port)
     url = f"http://127.0.0.1:{args.port}/edit"
 
@@ -98,7 +107,7 @@ def main():
     def client():
         while time.time() < stop:
             req = urllib.request.Request(
-                url, data=body, headers={"Content-Type": "application/json"})
+                url, data=body, headers={"Content-Type": content_type})
             t0 = time.perf_counter()
             try:
                 with urllib.request.urlopen(req, timeout=300) as r:
@@ -125,8 +134,9 @@ def main():
             result = {
                 "what": f"serve_api.py /edit under {args.clients} concurrent"
                         f" clients, {args.size}x{args.size}, bf16, one v5e"
-                        " chip via the tunnel (1-core host shares PNG codec"
+                        " chip via the tunnel (1-core host shares codec"
                         " work between client+server: a floor, not a peak)",
+                "payload": args.payload,
                 "requests_ok": len(lat),
                 "errors": errors[0],
                 "wall_s": round(wall, 1),

@@ -6,6 +6,12 @@ POST /edit with a JSON body {"image": <base64 PNG/JPEG>, "sketch":
 coalesced into large device batches (server/executor.py), which roughly
 doubles per-chip throughput vs batch-1 dispatch.
 
+POST /edit with Content-Type: application/octet-stream takes the raw
+binary protocol instead (server/rawproto.py: 10-byte header + raw uint8
+image + sketch planes, same format back) — the machine-to-machine
+throughput path with no PNG codec work on the serving host. Requests
+already at --edit_size skip the letterbox resize entirely.
+
     python serve_api.py --name celeb --joint_train_inp --use_cam \
         --pool_type max --dataset_mode base --port 9999 \
         --compute_dtype bfloat16 --precision default
@@ -70,6 +76,7 @@ def main():
     from sketchedit_tpu.server.executor import BatchingExecutor
     from sketchedit_tpu.server.letterbox import (
         letterbox_fit, letterbox_restore)
+    from sketchedit_tpu.server import rawproto
 
     # Fail fast on a dead accelerator: backend init/first device call can
     # hang FOREVER on a wedged tunnel session grant (observed: >2h) — and
@@ -162,6 +169,68 @@ def main():
             self.end_headers()
             self.wfile.write(body)
 
+        def _finish_edit(self, img_u8, sk_u8, content_wh, out_wh, raw):
+            """Dispatch through the batching executor and write the
+            response in the request's content type."""
+            composed, mask = executor.submit(img_u8, sk_u8).result(
+                timeout=120)
+            composed = np.asarray(composed)
+            mask = np.asarray(mask)
+            if composed.dtype != np.uint8:
+                composed = ((np.clip(composed.astype(np.float32), -1, 1)
+                             + 1) * 127.5).astype(np.uint8)
+                mask = (np.clip(mask.astype(np.float32), 0, 1)
+                        * 255).astype(np.uint8)
+            if raw and content_wh == out_wh == (edit_size, edit_size):
+                # canvas-native raw request: zero-codec, zero-resize
+                body = rawproto.encode(composed, mask)
+                ctype = "application/octet-stream"
+            else:
+                out_img, out_mask = letterbox_restore(
+                    composed, mask, content_wh, out_wh)
+                if raw:
+                    body = rawproto.encode(
+                        np.asarray(out_img.convert("RGB"), np.uint8),
+                        np.asarray(out_mask.convert("L"), np.uint8))
+                    ctype = "application/octet-stream"
+                else:
+                    def b64(im):
+                        buf = io.BytesIO()
+                        # compress_level 1: PNG is lossless at any level;
+                        # the default (6) spends ~4x the zlib CPU for a
+                        # slightly smaller body — encode time is what
+                        # bounds the loaded JSON path on the serving host
+                        im.save(buf, format="PNG", compress_level=1)
+                        return base64.b64encode(buf.getvalue()).decode()
+
+                    body = json.dumps({"image": b64(out_img),
+                                       "mask": b64(out_mask)}).encode()
+                    ctype = "application/json"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            _count("ok")
+
+        def _edit_raw(self, body):
+            """application/octet-stream: rawproto in/out — no image codec
+            on either side (the machine-to-machine throughput path)."""
+            try:
+                img, sk = rawproto.decode(body)
+            except rawproto.RawProtoError as e:
+                _count("client_error")
+                self.send_error(400, f"bad raw payload: {e}")
+                return
+            h, w = img.shape[:2]
+            if (h, w) == (edit_size, edit_size):
+                img_u8, sk_u8, content_wh = img, sk, (w, h)
+            else:
+                img_u8, sk_u8, content_wh = letterbox_fit(
+                    Image.fromarray(img), Image.fromarray(sk[:, :, 0]),
+                    edit_size)
+            self._finish_edit(img_u8, sk_u8, content_wh, (w, h), raw=True)
+
         def do_POST(self):
             if self.path != "/edit":
                 _count("client_error")
@@ -175,6 +244,11 @@ def main():
                     if length > MAX_BODY:
                         _count("client_error")
                         self.send_error(413, "request body too large")
+                        return
+                    ctype = (self.headers.get("Content-Type") or
+                             "").split(";")[0].strip().lower()
+                    if ctype == "application/octet-stream":
+                        self._edit_raw(self.rfile.read(length))
                         return
                     payload = json.loads(self.rfile.read(length))
                     img = Image.open(io.BytesIO(
@@ -198,32 +272,8 @@ def main():
                 # still coalesces them into device batches
                 img_u8, sk_u8, content_wh = letterbox_fit(
                     img, sk, edit_size)
-
-                composed, mask = executor.submit(img_u8, sk_u8).result(
-                    timeout=120)
-                composed = np.asarray(composed)
-                mask = np.asarray(mask)
-                if composed.dtype != np.uint8:
-                    composed = ((np.clip(composed.astype(np.float32), -1, 1)
-                                 + 1) * 127.5).astype(np.uint8)
-                    mask = (np.clip(mask.astype(np.float32), 0, 1)
-                            * 255).astype(np.uint8)
-                out_img, out_mask = letterbox_restore(
-                    composed, mask, content_wh, (w0, h0))
-
-                def b64(im):
-                    buf = io.BytesIO()
-                    im.save(buf, format="PNG")
-                    return base64.b64encode(buf.getvalue()).decode()
-
-                body = json.dumps({"image": b64(out_img),
-                                   "mask": b64(out_mask)}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-                _count("ok")
+                self._finish_edit(img_u8, sk_u8, content_wh, (w0, h0),
+                                  raw=False)
             except Exception as e:                  # pragma: no cover
                 import traceback
                 traceback.print_exc()

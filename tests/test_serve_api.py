@@ -139,6 +139,68 @@ def test_client_errors_are_400(api_server):
         assert status == 400, f"{body!r} -> {status}"
 
 
+def _post_raw(port, body, timeout=540):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/edit", data=body,
+        headers={"Content-Type": "application/octet-stream"})
+    for attempt in range(2):
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, None
+        except urllib.error.URLError:
+            if attempt == 1:
+                raise
+            time.sleep(10)
+
+
+def test_raw_payload_roundtrip_canvas_native(api_server):
+    """octet-stream at the canvas size: zero-codec path; the response
+    must byte-match the JSON path's PNG-decoded pixels (same executor,
+    same program — PNG is lossless)."""
+    from sketchedit_tpu.server import rawproto
+    rs = np.random.RandomState(3)
+    img = (rs.rand(256, 256, 3) * 255).astype(np.uint8)
+    sk = ((rs.rand(256, 256) > 0.97) * 255).astype(np.uint8)
+
+    status, body = _post_raw(api_server, rawproto.encode(img, sk))
+    assert status == 200
+    comp_raw, mask_raw = rawproto.decode(body)
+    assert comp_raw.shape == (256, 256, 3)
+
+    status, out = _post(api_server, {"image": _b64_png(img),
+                                     "sketch": _b64_png(sk)})
+    assert status == 200
+    comp_json = np.asarray(
+        Image.open(io.BytesIO(base64.b64decode(out["image"]))))
+    np.testing.assert_array_equal(comp_raw, comp_json)
+
+
+def test_raw_payload_letterboxes_other_sizes(api_server):
+    from sketchedit_tpu.server import rawproto
+    rs = np.random.RandomState(4)
+    img = (rs.rand(90, 160, 3) * 255).astype(np.uint8)
+    sk = ((rs.rand(90, 160) > 0.97) * 255).astype(np.uint8)
+    status, body = _post_raw(api_server, rawproto.encode(img, sk))
+    assert status == 200
+    comp, mask = rawproto.decode(body)
+    assert comp.shape == (90, 160, 3)
+    assert mask.shape == (90, 160, 1)
+
+
+def test_raw_payload_client_errors_are_400(api_server):
+    cases = [
+        b"",                                   # shorter than header
+        b"NOPE" + b"\x01\x00" + b"\x40\x00" * 2,   # bad magic
+        b"SKED" + b"\x09\x00" + b"\x40\x00" * 2,   # bad version
+        b"SKED" + b"\x01\x00" + b"\x40\x00\x40\x00" + b"x" * 7,  # short body
+    ]
+    for body in cases:
+        status, _ = _post_raw(api_server, body, timeout=60)
+        assert status == 400, f"{body[:12]!r} -> {status}"
+
+
 def test_wrong_path_is_404(api_server):
     status, _ = _post_path(api_server, "/nope")
     assert status == 404
