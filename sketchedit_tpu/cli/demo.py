@@ -21,7 +21,9 @@ def main():
             parser = TestOptions.initialize(self, parser)
             parser.add_argument('--face_crop', action='store_true',
                                 help='detect-crop-edit-paste composite for '
-                                     'full-body photos')
+                                     'full-body photos (bundled average-'
+                                     'face NCC localizer, sketch+skin-blob '
+                                     'fallback; server/face_localizer.py)')
             # interactive path defaults to the throughput config (bf16
             # activations, backend-default MXU passes) — ~1.6x fp32 latency
             # on v5e, visually indistinguishable; test.py / the golden gate

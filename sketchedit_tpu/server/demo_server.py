@@ -143,11 +143,15 @@ class DemoApp:
 
         if self.face_crop:
             from sketchedit_tpu.server.composite import face_crop_edit
+            from sketchedit_tpu.server.face_localizer import detect
             image = (np.asarray(img_r, np.float32) / 255.0 - 0.5) / 0.5
             line = (np.asarray(sk_r, np.float32) > 0).astype(np.float32)
             with self.lock:     # serialize device access like the u8 path
+                # bundled average-face NCC localizer; the sketch+skin-blob
+                # heuristic inside face_crop_edit remains the fallback
+                # when it returns no boxes
                 result = face_crop_edit(self.pipeline, image,
-                                        line[:, :, None])
+                                        line[:, :, None], detector=detect)
             result = np.clip(result.astype(np.float32), -1, 1)
             result_u8 = ((result + 1) / 2 * 255).astype(np.uint8)
         else:
