@@ -171,3 +171,37 @@ def test_fwd_tile_selection_respects_out_dtype():
     assert _fwd_tiles(jnp.bfloat16, jnp.bfloat16, 4096, 4096)[0] == 512
     assert _fwd_tiles(jnp.bfloat16, jnp.float32, 4096, 4096)[0] == 256
     assert _fwd_tiles(jnp.float32, jnp.float32, 4096, 4096)[0] == 128
+
+
+def test_attention_core_dsplit_matches_dense():
+    """The D-split forward (SKETCHEDIT_DSPLIT_ATTN A/B kernel) must equal
+    the dense formulation — including the split seam at D/2 and the
+    q-tile/kv-tile pad edges."""
+    from sketchedit_tpu.ops.attention_pallas import (
+        _attention_core_dsplit_raw)
+    rs = np.random.RandomState(1)
+    B, N, P, D = 2, 130, 150, 70     # unaligned everywhere
+    Q = rs.randn(B, N, D).astype(np.float32)
+    K = rs.randn(B, P, D).astype(np.float32)
+    V = rs.randn(B, P, D).astype(np.float32)
+    keep = (rs.rand(B, P) > 0.3).astype(np.float32)
+
+    def dense(Q, K, V, keep):
+        sim = jnp.einsum("bnd,bpd->bnp", Q, K)
+        w = jax.nn.softmax(sim * keep[:, None, :] * 10.0, axis=-1)
+        return jnp.einsum("bnp,bpd->bnd", w, V)
+
+    want = np.asarray(dense(*map(jnp.asarray, (Q, K, V, keep))))
+    with (pltpu.force_tpu_interpret_mode() if _interpret() else _nullctx()):
+        got, lse = _attention_core_dsplit_raw(
+            jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V),
+            jnp.asarray(keep), q_tile=128, kv_tile=128, return_lse=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+    # lse must match the standard kernel's (written identically per half)
+    from sketchedit_tpu.ops.attention_pallas import _attention_core_raw
+    with (pltpu.force_tpu_interpret_mode() if _interpret() else _nullctx()):
+        _, lse_want = _attention_core_raw(
+            jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V),
+            jnp.asarray(keep), q_tile=128, kv_tile=128, return_lse=True)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_want),
+                               rtol=1e-5, atol=1e-5)
