@@ -214,12 +214,16 @@ def main():
     assert resumed_step and resumed_step > 0, \
         f"resume did not restore a step counter (got {resumed_step})"
     assert losses2, "no loss lines parsed from the resumed run"
-    # losses continue at the trained level, not from-scratch level: the
-    # first resumed G_total must be below the first fresh print (coarse
-    # L1 starts ~1.2 from random init and falls fast)
+    # losses continue at the trained level, not from-scratch level. Judge
+    # by the pure reconstruction term (L1c): G_total includes the GAN term,
+    # which spikes whenever the discriminator happens to be hot at the
+    # resume boundary (observed at 512^2 — fresh 2.53 vs resumed 2.95 while
+    # L1c showed 0.81 -> 0.43, a clean continuation).
     g0, g1 = losses1[0]["losses"]["G_total"], losses2[0]["losses"]["G_total"]
-    print(f"fresh first G_total {g0:.3f} -> resumed first G_total {g1:.3f}")
-    assert g1 < g0, "resumed losses did not continue from the checkpoint"
+    l0, l1 = losses1[0]["losses"]["L1c"], losses2[0]["losses"]["L1c"]
+    print(f"fresh first L1c {l0:.3f} / G_total {g0:.3f} -> "
+          f"resumed first L1c {l1:.3f} / G_total {g1:.3f}")
+    assert l1 < l0, "resumed losses did not continue from the checkpoint"
 
     grid_png = os.path.join(args.workdir, "train_demo_grid.png")
     render_grid(args, args.workdir, grid_png)
@@ -232,6 +236,7 @@ def main():
             "compute_dtype": args.compute_dtype,
             "resumed_step": resumed_step,
             "first_fresh_G_total": g0, "first_resumed_G_total": g1,
+            "first_fresh_L1c": l0, "first_resumed_L1c": l1,
             "last_G_total": losses2[-1]["losses"]["G_total"],
             "median_ms_per_img": ms[len(ms) // 2],
             "images_per_sec": round(1000.0 / ms[len(ms) // 2], 1),
