@@ -14,9 +14,13 @@ Run on an IDLE host (a concurrent load inflated one r3 A/B leg 30%).
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sketchedit_tpu import runner
 
