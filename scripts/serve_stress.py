@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _payload(size, kind="png"):
+def _payload(size, kind="png", frames=1):
     import numpy as np
     from PIL import Image
     rs = np.random.RandomState(0)
@@ -38,7 +38,8 @@ def _payload(size, kind="png"):
 
     if kind == "raw":
         from sketchedit_tpu.server import rawproto
-        return rawproto.encode(img, sk), "application/octet-stream"
+        return (rawproto.encode(img, sk) * frames,
+                "application/octet-stream")
 
     def png(arr):
         buf = io.BytesIO()
@@ -94,9 +95,14 @@ def main():
                     help="'raw' uses the octet-stream binary protocol "
                          "(server/rawproto.py) — no PNG codec on either "
                          "side")
+    ap.add_argument("--frames", type=int, default=1,
+                    help="raw only: images per request (bulk frames "
+                         "amortize per-request HTTP/dispatch cost)")
     args = ap.parse_args()
+    if args.frames > 1 and args.payload != "raw":
+        ap.error("--frames needs --payload raw")
 
-    body, content_type = _payload(args.size, args.payload)
+    body, content_type = _payload(args.size, args.payload, args.frames)
     proc = None if args.attach else spawn_server(args.port)
     url = f"http://127.0.0.1:{args.port}/edit"
 
@@ -137,10 +143,12 @@ def main():
                         " chip via the tunnel (1-core host shares codec"
                         " work between client+server: a floor, not a peak)",
                 "payload": args.payload,
+                "frames_per_request": args.frames,
                 "requests_ok": len(lat),
                 "errors": errors[0],
                 "wall_s": round(wall, 1),
                 "throughput_rps": round(len(lat) / wall, 2),
+                "throughput_imgs_s": round(len(lat) * args.frames / wall, 2),
                 "latency_ms": {
                     "p50": round(q[49] * 1000),
                     "p90": round(q[89] * 1000),

@@ -9,8 +9,11 @@ doubles per-chip throughput vs batch-1 dispatch.
 POST /edit with Content-Type: application/octet-stream takes the raw
 binary protocol instead (server/rawproto.py: 10-byte header + raw uint8
 image + sketch planes, same format back) — the machine-to-machine
-throughput path with no PNG codec work on the serving host. Requests
-already at --edit_size skip the letterbox resize entirely.
+throughput path with no PNG codec work on the serving host. A body may
+concatenate SEVERAL frames (bulk request): all submit to the executor
+before the first wait, so one POST becomes one device batch and the
+per-request HTTP cost amortizes over N images. Frames already at
+--edit_size skip the letterbox resize entirely.
 
     python serve_api.py --name celeb --joint_train_inp --use_cam \
         --pool_type max --dataset_mode base --port 9999 \
@@ -169,11 +172,8 @@ def main():
             self.end_headers()
             self.wfile.write(body)
 
-        def _finish_edit(self, img_u8, sk_u8, content_wh, out_wh, raw):
-            """Dispatch through the batching executor and write the
-            response in the request's content type."""
-            composed, mask = executor.submit(img_u8, sk_u8).result(
-                timeout=120)
+        @staticmethod
+        def _to_u8(composed, mask):
             composed = np.asarray(composed)
             mask = np.asarray(mask)
             if composed.dtype != np.uint8:
@@ -181,33 +181,28 @@ def main():
                              + 1) * 127.5).astype(np.uint8)
                 mask = (np.clip(mask.astype(np.float32), 0, 1)
                         * 255).astype(np.uint8)
-            if raw and content_wh == out_wh == (edit_size, edit_size):
-                # canvas-native raw request: zero-codec, zero-resize
-                body = rawproto.encode(composed, mask)
-                ctype = "application/octet-stream"
-            else:
-                out_img, out_mask = letterbox_restore(
-                    composed, mask, content_wh, out_wh)
-                if raw:
-                    body = rawproto.encode(
-                        np.asarray(out_img.convert("RGB"), np.uint8),
-                        np.asarray(out_mask.convert("L"), np.uint8))
-                    ctype = "application/octet-stream"
-                else:
-                    def b64(im):
-                        buf = io.BytesIO()
-                        # compress_level 1: PNG is lossless at any level;
-                        # the default (6) spends ~4x the zlib CPU for a
-                        # slightly smaller body — encode time is what
-                        # bounds the loaded JSON path on the serving host
-                        im.save(buf, format="PNG", compress_level=1)
-                        return base64.b64encode(buf.getvalue()).decode()
+            return composed, mask
 
-                    body = json.dumps({"image": b64(out_img),
-                                       "mask": b64(out_mask)}).encode()
-                    ctype = "application/json"
+        def _finish_edit(self, img_u8, sk_u8, content_wh, out_wh):
+            """JSON path: dispatch one edit and reply base64-PNG."""
+            composed, mask = self._to_u8(
+                *executor.submit(img_u8, sk_u8).result(timeout=120))
+            out_img, out_mask = letterbox_restore(
+                composed, mask, content_wh, out_wh)
+
+            def b64(im):
+                buf = io.BytesIO()
+                # compress_level 1: PNG is lossless at any level; the
+                # default (6) spends ~4x the zlib CPU for a slightly
+                # smaller body — encode time is what bounds the loaded
+                # JSON path on the serving host
+                im.save(buf, format="PNG", compress_level=1)
+                return base64.b64encode(buf.getvalue()).decode()
+
+            body = json.dumps({"image": b64(out_img),
+                               "mask": b64(out_mask)}).encode()
             self.send_response(200)
-            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -215,21 +210,52 @@ def main():
 
         def _edit_raw(self, body):
             """application/octet-stream: rawproto in/out — no image codec
-            on either side (the machine-to-machine throughput path)."""
+            on either side (the machine-to-machine throughput path).
+
+            A body may carry SEVERAL concatenated frames (the bulk shape):
+            all are submitted to the executor before the first wait, so
+            one bulk POST coalesces into one device batch and the
+            per-request HTTP/GIL cost is paid once per N images — the
+            binding constraint of the loaded single-frame path on a
+            small host (SERVING_r4: executor already coalesced to b32
+            while rps stalled at ~29; the per-request host work was the
+            wall, not the chip)."""
             try:
-                img, sk = rawproto.decode(body)
+                frames = rawproto.decode_frames(body)
             except rawproto.RawProtoError as e:
                 _count("client_error")
                 self.send_error(400, f"bad raw payload: {e}")
                 return
-            h, w = img.shape[:2]
-            if (h, w) == (edit_size, edit_size):
-                img_u8, sk_u8, content_wh = img, sk, (w, h)
-            else:
-                img_u8, sk_u8, content_wh = letterbox_fit(
-                    Image.fromarray(img), Image.fromarray(sk[:, :, 0]),
-                    edit_size)
-            self._finish_edit(img_u8, sk_u8, content_wh, (w, h), raw=True)
+            pending = []
+            for img, sk in frames:
+                h, w = img.shape[:2]
+                if (h, w) == (edit_size, edit_size):
+                    img_u8, sk_u8, content_wh = img, sk, (w, h)
+                else:
+                    img_u8, sk_u8, content_wh = letterbox_fit(
+                        Image.fromarray(img), Image.fromarray(sk[:, :, 0]),
+                        edit_size)
+                pending.append((executor.submit(img_u8, sk_u8),
+                                content_wh, (w, h)))
+            parts = []
+            for fut, content_wh, out_wh in pending:
+                composed, mask = self._to_u8(*fut.result(timeout=120))
+                if content_wh == out_wh == (edit_size, edit_size):
+                    # canvas-native frame: zero-codec, zero-resize
+                    parts.append(rawproto.encode(composed, mask))
+                else:
+                    out_img, out_mask = letterbox_restore(
+                        composed, mask, content_wh, out_wh)
+                    parts.append(rawproto.encode(
+                        np.asarray(out_img.convert("RGB"), np.uint8),
+                        np.asarray(out_mask.convert("L"), np.uint8)))
+            resp = b"".join(parts)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+            _count("ok")
 
         def do_POST(self):
             if self.path != "/edit":
@@ -272,8 +298,7 @@ def main():
                 # still coalesces them into device batches
                 img_u8, sk_u8, content_wh = letterbox_fit(
                     img, sk, edit_size)
-                self._finish_edit(img_u8, sk_u8, content_wh, (w0, h0),
-                                  raw=False)
+                self._finish_edit(img_u8, sk_u8, content_wh, (w0, h0))
             except Exception as e:                  # pragma: no cover
                 import traceback
                 traceback.print_exc()

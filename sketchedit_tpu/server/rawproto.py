@@ -49,24 +49,51 @@ def encode(image_u8: np.ndarray, plane_u8: np.ndarray) -> bytes:
             + np.ascontiguousarray(plane).tobytes())
 
 
-def decode(body: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Wire bytes -> ((h,w,3) u8 image, (h,w,1) u8 plane). Raises
+def decode_frames(body: bytes, max_frames: int = 1024,
+                  ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Wire bytes -> [((h,w,3) u8 image, (h,w,1) u8 plane), ...].
+
+    A body is one or more concatenated frames (each self-describing:
+    header + image + plane), which is the bulk request shape — N edits in
+    one POST amortize the per-request HTTP/dispatch cost that bounds the
+    loaded single-frame path on a small serving host. Raises
     RawProtoError on malformed input (maps to HTTP 400)."""
-    if len(body) < HEADER.size:
-        raise RawProtoError("body shorter than header")
-    magic, ver, _flags, h, w = HEADER.unpack_from(body)
-    if magic != MAGIC:
-        raise RawProtoError("bad magic (expected b'SKED')")
-    if ver != VERSION:
-        raise RawProtoError(f"unsupported version {ver}")
-    if h < 1 or w < 1:
-        raise RawProtoError(f"bad dims {h}x{w}")
-    need = HEADER.size + h * w * 4
-    if len(body) != need:
-        raise RawProtoError(
-            f"body length {len(body)} != {need} for {h}x{w}")
-    img = np.frombuffer(body, np.uint8, h * w * 3,
-                        offset=HEADER.size).reshape(h, w, 3)
-    plane = np.frombuffer(body, np.uint8, h * w,
-                          offset=HEADER.size + h * w * 3).reshape(h, w, 1)
-    return img, plane
+    frames = []
+    off = 0
+    while off < len(body):
+        if len(body) - off < HEADER.size:
+            raise RawProtoError(f"trailing {len(body) - off} bytes are "
+                                "shorter than a frame header")
+        magic, ver, _flags, h, w = HEADER.unpack_from(body, off)
+        if magic != MAGIC:
+            raise RawProtoError("bad magic (expected b'SKED')")
+        if ver != VERSION:
+            raise RawProtoError(f"unsupported version {ver}")
+        if h < 1 or w < 1:
+            raise RawProtoError(f"bad dims {h}x{w}")
+        need = HEADER.size + h * w * 4
+        if len(body) - off < need:
+            raise RawProtoError(
+                f"frame {len(frames)} truncated: {len(body) - off} bytes "
+                f"< {need} for {h}x{w}")
+        img = np.frombuffer(body, np.uint8, h * w * 3,
+                            offset=off + HEADER.size).reshape(h, w, 3)
+        plane = np.frombuffer(
+            body, np.uint8, h * w,
+            offset=off + HEADER.size + h * w * 3).reshape(h, w, 1)
+        frames.append((img, plane))
+        if len(frames) > max_frames:
+            raise RawProtoError(f"more than {max_frames} frames")
+        off += need
+    if not frames:
+        raise RawProtoError("empty body")
+    return frames
+
+
+def decode(body: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Wire bytes -> ((h,w,3) u8 image, (h,w,1) u8 plane); exactly one
+    frame. Raises RawProtoError on malformed input (maps to HTTP 400)."""
+    frames = decode_frames(body)
+    if len(frames) != 1:
+        raise RawProtoError(f"expected one frame, got {len(frames)}")
+    return frames[0]

@@ -189,6 +189,59 @@ def test_raw_payload_letterboxes_other_sizes(api_server):
     assert mask.shape == (90, 160, 1)
 
 
+def test_rawproto_decode_frames_unit():
+    """Pure protocol unit: multi-frame bodies split exactly; malformed
+    tails raise (no server needed)."""
+    from sketchedit_tpu.server import rawproto
+    rs = np.random.RandomState(5)
+    a = ((rs.rand(8, 8, 3) * 255).astype(np.uint8),
+         ((rs.rand(8, 8) > 0.5) * 255).astype(np.uint8))
+    b = ((rs.rand(16, 24, 3) * 255).astype(np.uint8),
+         ((rs.rand(16, 24) > 0.5) * 255).astype(np.uint8))
+    body = rawproto.encode(*a) + rawproto.encode(*b)
+    frames = rawproto.decode_frames(body)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0][0], a[0])
+    np.testing.assert_array_equal(frames[1][0], b[0])
+    assert frames[1][1].shape == (16, 24, 1)
+    # single-frame decode() refuses multi-frame bodies
+    with pytest.raises(rawproto.RawProtoError):
+        rawproto.decode(body)
+    # truncated second frame
+    with pytest.raises(rawproto.RawProtoError):
+        rawproto.decode_frames(body[:-1])
+    # trailing garbage shorter than a header
+    with pytest.raises(rawproto.RawProtoError):
+        rawproto.decode_frames(rawproto.encode(*a) + b"SKE")
+    with pytest.raises(rawproto.RawProtoError):
+        rawproto.decode_frames(b"")
+    with pytest.raises(rawproto.RawProtoError):
+        rawproto.decode_frames(rawproto.encode(*a) * 3, max_frames=2)
+
+
+def test_raw_bulk_request_roundtrip(api_server):
+    """Several concatenated frames in ONE POST come back as the same
+    number of frames, each at its own size, matching the single-frame
+    responses bit-for-bit (same executor, same program)."""
+    from sketchedit_tpu.server import rawproto
+    rs = np.random.RandomState(6)
+    img1 = (rs.rand(64, 64, 3) * 255).astype(np.uint8)
+    sk1 = ((rs.rand(64, 64) > 0.97) * 255).astype(np.uint8)
+    img2 = (rs.rand(90, 160, 3) * 255).astype(np.uint8)
+    sk2 = ((rs.rand(90, 160) > 0.97) * 255).astype(np.uint8)
+
+    bulk = rawproto.encode(img1, sk1) + rawproto.encode(img2, sk2)
+    status, body = _post_raw(api_server, bulk)
+    assert status == 200
+    frames = rawproto.decode_frames(body)
+    assert [f[0].shape for f in frames] == [(64, 64, 3), (90, 160, 3)]
+
+    status, single = _post_raw(api_server, rawproto.encode(img1, sk1))
+    assert status == 200
+    comp_single, _ = rawproto.decode(single)
+    np.testing.assert_array_equal(frames[0][0], comp_single)
+
+
 def test_raw_payload_client_errors_are_400(api_server):
     cases = [
         b"",                                   # shorter than header
