@@ -148,11 +148,20 @@ def main():
                         os.path.join(args.workdir, "baseline.json"),
                         eval_extra)
 
+    # val_track: with --lambda_mask_rec > 0 the mask is live, and ANY
+    # reconstruction metric (psnr/ssim/region_psnr) REWARDS the zero-mask
+    # collapse — inputs==gt in this objective (docs/PARITY.md "Known
+    # deltas"), so soft_mask=0 composites the input back and scores a
+    # perfect reconstruction. Measured: a psnr-tracked run snapshots
+    # epoch ~5 (mask_iou 0.009, val psnr 30.5) as "best" while the real
+    # model matures to iou 0.65 / psnr ~19. mask_iou is the one tracked
+    # metric the collapse cannot game.
+    track = "mask_iou" if args.lambda_mask_rec > 0 else "psnr"
     losses, _, rc = run_train(
         args, args.workdir,
         ["--val_image_dir", val_dir,
          "--val_epoch_freq", str(args.val_epoch_freq),
-         "--val_items", "8", "--val_track", "psnr"],
+         "--val_items", "8", "--val_track", track],
         args.train_secs, "train")
     assert losses, "no loss lines parsed"
     curve = val_curve(os.path.join(ck, "rtd", "metrics.jsonl"))
@@ -180,8 +189,9 @@ def main():
     ms = sorted(d["ms_per_img"] for d in losses)
     report = {
         "what": "held-out-quality training: sources 6-7 of the 8 bundled "
-                "photos unseen in training; BEST checkpoint (val psnr) "
+                f"photos unseen in training; BEST checkpoint (val {track}) "
                 "scored on the held-out split only",
+        "val_track": track,
         "staged_images": args.images, "batch": args.batch,
         "crop": args.crop, "compute_dtype": args.compute_dtype,
         "lambda_mask_rec": args.lambda_mask_rec,
