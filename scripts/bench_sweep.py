@@ -67,11 +67,24 @@ def main():
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-config timeout (cold remote compiles are "
                          "slow; warm runs finish in minutes)")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep rows already in --out (by label) and only "
+                         "run the missing/errored configs — for picking "
+                         "up an interrupted sweep")
     args = ap.parse_args()
 
     configs = CONFIGS if args.quick else CONFIGS + SLOW_CONFIGS
     rows = []
+    done = set()
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = [r for r in json.load(f).get("rows", [])
+                    if "error" not in r]
+        done = {r["label"] for r in rows}
+        print(f"resume: keeping {sorted(done)}", flush=True)
     for label, overrides in configs:
+        if label in done:
+            continue
         print(f"== {label}", flush=True)
         try:
             row = run_one(label, overrides, args.timeout)
