@@ -27,24 +27,35 @@ sys.path.insert(0, REPO)
 
 from scripts.real_train_demo import run_train  # noqa: E402
 
-VAL_SOURCES = (6, 7)     # staged_%05d.jpg uses source photo i % 8
+VAL_SOURCES = (6, 7)     # staged_%05d.jpg uses source photo i % n_sources
 
 
 def split_stage(workdir, count, size):
-    from scripts.stage_train_images import stage
+    from scripts.stage_train_images import stage, source_paths
     all_dir = os.path.join(workdir, "all")
     train_dir = os.path.join(workdir, "imgs")   # run_train's fixed layout
     val_dir = os.path.join(workdir, "val")
     if os.path.isdir(train_dir) and os.listdir(train_dir):
         return train_dir, val_dir
     os.makedirs(all_dir, exist_ok=True)
+    # the by-source split must use stage()'s ACTUAL source count: it maps
+    # variant i -> source i % len(source_paths()), and with fewer than 8
+    # staged photos (one release dir missing) an assumed %8 would put the
+    # same source photos in both splits — silently voiding "held-out"
+    n_src = len(source_paths())
+    if n_src != 8:
+        raise SystemExit(
+            f"expected the 8 bundled release photos, found {n_src}; "
+            "run `python datasets/stage_reference_assets.py --source "
+            "/root/reference --demo` so the content-held-out split "
+            "(sources 6-7) means what the report claims")
     written = stage(all_dir, count, size)
     os.makedirs(train_dir, exist_ok=True)
     os.makedirs(val_dir, exist_ok=True)
     n_val = 0
     for p in written:
         i = int(os.path.basename(p).split("_")[1].split(".")[0])
-        dst = val_dir if (i % 8) in VAL_SOURCES else train_dir
+        dst = val_dir if (i % n_src) in VAL_SOURCES else train_dir
         os.link(p, os.path.join(dst, os.path.basename(p)))
         n_val += dst == val_dir
     print(f"split: {count - n_val} train / {n_val} held-out "

@@ -26,14 +26,21 @@ SOURCES = (
 )
 
 
-def stage(out_dir: str, count: int, size: int, seed: int = 0,
-          quality: int = 95) -> list:
-    rs = np.random.RandomState(seed)
+def source_paths() -> list:
+    """The bundled source photos, in the order stage() tiles them:
+    variant staged_{i:05d}.jpg comes from source_paths()[i % len(...)]."""
     paths = []
     for d in SOURCES:
         if os.path.isdir(d):
             paths += [os.path.join(d, n) for n in sorted(os.listdir(d))
                       if n.lower().endswith((".png", ".jpg", ".jpeg"))]
+    return paths
+
+
+def stage(out_dir: str, count: int, size: int, seed: int = 0,
+          quality: int = 95) -> list:
+    rs = np.random.RandomState(seed)
+    paths = source_paths()
     if not paths:
         raise SystemExit("no bundled release images found")
     os.makedirs(out_dir, exist_ok=True)

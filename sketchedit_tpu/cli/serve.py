@@ -264,7 +264,13 @@ def main():
                 return
             try:
                 # client errors -> 400 with a reason; everything after
-                # decode is server-side -> 500
+                # decode is server-side -> 500. Only body READS and
+                # parses live in the inner try: pipeline work (including
+                # _edit_raw's dispatch/encode/response) must classify as
+                # server-side, else a BrokenPipeError mid-response or an
+                # executor ValueError would be reported as the client's
+                # fault
+                raw_body = None
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     if length > MAX_BODY:
@@ -274,13 +280,15 @@ def main():
                     ctype = (self.headers.get("Content-Type") or
                              "").split(";")[0].strip().lower()
                     if ctype == "application/octet-stream":
-                        self._edit_raw(self.rfile.read(length))
-                        return
-                    payload = json.loads(self.rfile.read(length))
-                    img = Image.open(io.BytesIO(
-                        base64.b64decode(payload["image"]))).convert("RGB")
-                    sk = Image.open(io.BytesIO(
-                        base64.b64decode(payload["sketch"]))).convert("L")
+                        raw_body = self.rfile.read(length)
+                    else:
+                        payload = json.loads(self.rfile.read(length))
+                        img = Image.open(io.BytesIO(
+                            base64.b64decode(
+                                payload["image"]))).convert("RGB")
+                        sk = Image.open(io.BytesIO(
+                            base64.b64decode(
+                                payload["sketch"]))).convert("L")
                 except (json.JSONDecodeError, KeyError, TypeError,
                         ValueError, OSError) as e:
                     # TypeError covers valid-JSON non-object bodies
@@ -289,6 +297,9 @@ def main():
                     self.send_error(
                         400, f"bad request: {type(e).__name__}: "
                              f"{str(e)[:160]}")
+                    return
+                if raw_body is not None:
+                    self._edit_raw(raw_body)
                     return
                 w0, h0 = img.size
                 # aspect-preserving letterbox onto the shared square
@@ -303,7 +314,10 @@ def main():
                 import traceback
                 traceback.print_exc()
                 _count("server_error")
-                self.send_error(500, str(e)[:200])
+                try:
+                    self.send_error(500, str(e)[:200])
+                except OSError:
+                    pass        # client already gone (e.g. BrokenPipe)
 
     class Server(ThreadingHTTPServer):
         request_queue_size = 128        # survive thundering-herd accepts

@@ -116,7 +116,13 @@ def _collate(samples, batch_size, compact: bool = False):
 _WORKER_STATE: dict = {}
 
 
-def _worker_init(dataset, base_seed):
+def _worker_init(dataset, base_seed, n_workers=1):
+    # a dataset's decode-cache cap (--decode_cache_mb) is a TOTAL budget:
+    # batch chunks are split across workers by position, not by index, so
+    # every worker eventually sees every item — an undivided per-process
+    # cap would multiply loader RSS by the worker count
+    if n_workers > 1 and getattr(dataset, "_cache_cap", 0):
+        dataset._cache_cap //= n_workers
     _WORKER_STATE["ds"] = dataset
     _WORKER_STATE["seed"] = base_seed
 
@@ -160,7 +166,7 @@ class DataLoader:
             self._pool = _futures.ProcessPoolExecutor(
                 self.num_workers, mp_context=ctx,
                 initializer=_worker_init,
-                initargs=(self.dataset, self.seed))
+                initargs=(self.dataset, self.seed, self.num_workers))
         return self._pool
 
     def close(self):

@@ -38,7 +38,9 @@ class EditImageDataset:
         parser.add_argument('--canny_high', type=int, default=200)
         parser.add_argument('--decode_cache_mb', type=int, default=512,
                             help='cache decoded+resized uint8 frames across '
-                                 'epochs up to this many MB (0 disables); '
+                                 'epochs up to this many MB total (0 '
+                                 'disables; split evenly across spawned '
+                                 'process workers when nThreads > 1); '
                                  'the resize stage is deterministic, so only '
                                  'crop/flip/Canny/mask synthesis stay '
                                  'per-epoch work for cached items')
@@ -97,11 +99,11 @@ class EditImageDataset:
 
     def __getitem__(self, index):
         frame = self._resized_u8(index)
-        # crop bounds come from the resized frame's actual size — identical
-        # to the reference's new_size computation for every mode (the
-        # resize stage realizes exactly that size)
+        # crop bounds come from the resized frame's actual size
+        # (size_is_resized: the shortside quirk makes the new_size
+        # recomputation non-idempotent — see get_params)
         params = get_params(self.opt, (frame.shape[1], frame.shape[0]),
-                            self.rng)
+                            self.rng, size_is_resized=True)
         img_u8 = crop_flip_array(self.opt, frame, params)
         h, w = img_u8.shape[:2]
 

@@ -26,11 +26,23 @@ class TransformParams:
     #                                  saturation, hue)) — see color_jitter
 
 
-def get_params(opt, size, rng: np.random.Generator | None = None):
+def get_params(opt, size, rng: np.random.Generator | None = None, *,
+               size_is_resized: bool = False):
+    """size_is_resized=True: `size` is the ALREADY-resized frame (the
+    cached-decode path) — use it as the crop bound directly. The
+    reference always feeds the ORIGINAL size and recomputes new_size
+    (base_dataset.py:22-35), and apply_resize realizes exactly that
+    size, so the two are equivalent — but the recomputation is NOT
+    idempotent for scale_shortside_and_crop (the preserved reference
+    quirk keeps the short side unchanged, so re-deriving from the
+    resized size double-scales the long side and draws crop positions
+    past the frame edge)."""
     w, h = size
     new_w, new_h = w, h
     mode = opt.preprocess_mode
-    if mode == 'resize_and_crop':
+    if size_is_resized:
+        pass
+    elif mode == 'resize_and_crop':
         new_w = new_h = opt.load_size
     elif mode == 'scale_width_and_crop':
         new_w = opt.load_size

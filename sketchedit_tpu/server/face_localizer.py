@@ -50,7 +50,10 @@ _template_cache: dict = {}
 
 def _average_face_template(size: int = TEMPLATE_SIZE) -> np.ndarray | None:
     """Mean grayscale face from the bundled release assets (None if the
-    assets are absent and the reference checkout isn't mounted)."""
+    assets are absent and the reference checkout isn't mounted, or cv2
+    is unavailable — callers degrade to the sketch/skin heuristic)."""
+    if cv2 is None:
+        return None
     if size in _template_cache:
         return _template_cache[size]
     faces = []

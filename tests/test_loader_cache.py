@@ -125,3 +125,21 @@ def test_process_pool_determinism(tmp_path):
             os.environ.pop(env_key, None)
         else:
             os.environ[env_key] = old
+
+
+def test_worker_init_splits_decode_cache_budget():
+    """--decode_cache_mb is a TOTAL budget: each spawned worker sees an
+    arbitrary item subset, so _worker_init must divide the cap by the
+    worker count (else loader RSS = workers x cap on multi-core hosts)."""
+    from sketchedit_tpu.data import _worker_init, _WORKER_STATE
+
+    class _DS:
+        _cache_cap = 512 << 20
+
+    ds = _DS()
+    _worker_init(ds, 0, 4)
+    assert ds._cache_cap == (512 << 20) // 4
+    ds2 = _DS()
+    _worker_init(ds2, 0, 1)                 # single worker: untouched
+    assert ds2._cache_cap == 512 << 20
+    _WORKER_STATE.clear()

@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -128,3 +129,15 @@ def test_make_vis_overlay(tmp_path):
     out = overlay(img, sk)
     assert tuple(out[2, 3]) == (0, 0, 255)
     assert tuple(out[0, 0]) == (0, 0, 0)
+
+
+def test_heldout_split_requires_all_eight_sources(tmp_path, monkeypatch):
+    """The content-held-out split maps variant i -> source i % n_sources;
+    with fewer than the 8 bundled photos staged, an assumed %8 would put
+    the same sources in both splits — the harness must refuse instead."""
+    import scripts.stage_train_images as sti
+    from scripts.heldout_train_eval import split_stage
+
+    monkeypatch.setattr(sti, "source_paths", lambda: ["a.png"] * 4)
+    with pytest.raises(SystemExit, match="8 bundled"):
+        split_stage(str(tmp_path), 16, 64)

@@ -175,3 +175,33 @@ def test_crop_positions_reach_the_right_bottom_edge():
         ys.add(y)
     assert max(xs) == 32 - 16 and max(ys) == 32 - 16
     assert min(xs) == 0 and min(ys) == 0
+
+
+def test_shortside_crop_params_from_resized_frame():
+    """Regression: the cached-decode path feeds get_params the ALREADY
+    resized frame size. For scale_shortside_and_crop the new_size
+    recomputation is NOT idempotent (the shortside quirk rescales the
+    long side again), so without size_is_resized crop positions were
+    drawn past the frame edge -> zero-padded (mostly black) crops."""
+    from sketchedit_tpu.data.transforms import apply_resize
+    opt = _opt('scale_shortside_and_crop', load=200, crop=64)
+    frame = apply_resize(opt, _img(100, 80))          # quirk: -> (250, 80)
+    assert frame.size == (250, 80)
+
+    rng = np.random.default_rng(0)
+    xs = set()
+    for _ in range(600):
+        p = get_params(opt, frame.size, rng, size_is_resized=True)
+        assert p.new_size == (250, 80)
+        x, y = p.crop_pos
+        xs.add(x)
+        assert 0 <= x <= 250 - 64 and 0 <= y <= 80 - 64
+    assert max(xs) == 250 - 64                        # full range reachable
+
+    # equivalence with the reference draw (original size, recomputed):
+    # same bounds -> identical distribution
+    p_ref = get_params(opt, (100, 80), np.random.default_rng(7))
+    p_new = get_params(opt, frame.size, np.random.default_rng(7),
+                       size_is_resized=True)
+    assert p_ref.new_size == p_new.new_size == (250, 80)
+    assert p_ref.crop_pos == p_new.crop_pos and p_ref.flip == p_new.flip
