@@ -163,7 +163,9 @@ def main():
         return device_batch, step_fn
 
     from sketchedit_tpu.train.validation import (
-        MetricsLog, build_validator, is_improvement, recover_best)
+        MetricsLog, build_validator, is_improvement, recover_best,
+        resolve_val_track)
+    opt.val_track = resolve_val_track(opt)
     metrics_log = MetricsLog.from_opt(opt)
     validator = build_validator(opt, cfg)
     best_val = None

@@ -92,10 +92,16 @@ class TrainOptions(BaseOptions):
                             help='held-out items in the fixed val batch')
         parser.add_argument('--val_epoch_freq', type=int, default=1,
                             help='validate every N epochs')
-        parser.add_argument('--val_track', type=str, default='psnr',
-                            choices=['psnr', 'ssim', 'region_psnr',
+        parser.add_argument('--val_track', type=str, default='auto',
+                            choices=['auto', 'psnr', 'ssim', 'region_psnr',
                                      'region_l1', 'outside_l1', 'mask_iou'],
-                            help='metric deciding the best_net_* snapshot')
+                            help='metric deciding the best_net_* snapshot; '
+                                 'auto = mask_iou when --lambda_mask_rec > 0 '
+                                 'else psnr (reconstruction metrics REWARD '
+                                 'the zero-mask collapse when inputs==gt — '
+                                 'docs/PARITY.md "Known deltas" — so a psnr-'
+                                 'tracked live-mask run snapshots the '
+                                 'collapse as "best")')
         parser.add_argument('--metrics_log', type=str, default='auto',
                             help="JSONL metrics log: 'auto' = <run_dir>/"
                                  "metrics.jsonl, 'off' disables, else a path")

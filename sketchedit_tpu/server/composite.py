@@ -29,6 +29,34 @@ EXPAND = 1.8      # crop box expansion around the localized region
 FEATHER = 0.12    # feather width as a fraction of the crop size
 
 
+def _resize_linear(arr: np.ndarray, wh: tuple) -> np.ndarray:
+    """Bilinear resize of a float array; PIL per-channel when cv2 is
+    absent (the whole composite path must degrade, not crash, without
+    cv2 — the module import guard exists for exactly that host)."""
+    if cv2 is not None:
+        return cv2.resize(arr, wh, interpolation=cv2.INTER_LINEAR)
+    from PIL import Image
+    w, h = wh
+    if arr.ndim == 2:
+        return np.asarray(Image.fromarray(arr.astype(np.float32), "F")
+                          .resize((w, h), Image.BILINEAR), np.float32)
+    return np.stack(
+        [np.asarray(Image.fromarray(arr[..., c].astype(np.float32), "F")
+                    .resize((w, h), Image.BILINEAR), np.float32)
+         for c in range(arr.shape[-1])], axis=-1)
+
+
+def _resize_nearest2d(arr2d: np.ndarray, wh: tuple) -> np.ndarray:
+    """Nearest-neighbor resize of a 2-D map (binary sketch), cv2-free."""
+    if cv2 is not None:
+        return cv2.resize(arr2d, wh, interpolation=cv2.INTER_NEAREST)
+    w, h = wh
+    H, W = arr2d.shape
+    yi = np.minimum((np.arange(h) * (H / h)).astype(int), H - 1)
+    xi = np.minimum((np.arange(w) * (W / w)).astype(int), W - 1)
+    return arr2d[yi[:, None], xi[None, :]]
+
+
 def skin_mask(image_u8: np.ndarray) -> np.ndarray:
     """Coarse skin-probability mask via YCrCb chroma gating."""
     ycrcb = cv2.cvtColor(image_u8, cv2.COLOR_RGB2YCrCb)
@@ -64,23 +92,24 @@ def localize_edit_region(image_u8: np.ndarray, sketch_hw1: np.ndarray,
     sx0, sx1 = xs.min(), xs.max()
     sy0, sy1 = ys.min(), ys.max()
 
-    skin = skin_mask(image_u8)
-    n, labels, stats, _ = cv2.connectedComponentsWithStats(skin)
-    best = None
-    cx, cy = int(xs.mean()), int(ys.mean())
-    for i in range(1, n):
-        x, y, w, h, area = stats[i]
-        if area < 0.0005 * H * W:
-            continue
-        if x <= cx < x + w and y <= cy < y + h:
-            if best is None or area > best[-1]:
-                best = (x, y, w, h, area)
-    if best is not None:
-        x, y, w, h, _ = best
-        # union with the sketch extent so strokes stay inside the crop
-        x0, y0 = min(x, sx0), min(y, sy0)
-        x1, y1 = max(x + w, sx1), max(y + h, sy1)
-        return (x0, y0, x1 - x0, y1 - y0)
+    if cv2 is not None:      # skin-blob refinement needs cv2; without it
+        skin = skin_mask(image_u8)   # the sketch bbox below still works
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(skin)
+        best = None
+        cx, cy = int(xs.mean()), int(ys.mean())
+        for i in range(1, n):
+            x, y, w, h, area = stats[i]
+            if area < 0.0005 * H * W:
+                continue
+            if x <= cx < x + w and y <= cy < y + h:
+                if best is None or area > best[-1]:
+                    best = (x, y, w, h, area)
+        if best is not None:
+            x, y, w, h, _ = best
+            # union with the sketch extent so strokes stay inside the crop
+            x0, y0 = min(x, sx0), min(y, sy0)
+            x1, y1 = max(x + w, sx1), max(y + h, sy1)
+            return (x0, y0, x1 - x0, y1 - y0)
     return (sx0, sy0, max(1, sx1 - sx0), max(1, sy1 - sy0))
 
 
@@ -122,16 +151,14 @@ def face_crop_edit(pipeline, image: np.ndarray, sketch: np.ndarray,
     crop = image[y0:y0 + side, x0:x0 + side]
     sk_crop = sketch[y0:y0 + side, x0:x0 + side]
 
-    crop_r = cv2.resize(crop, (EDIT_RES, EDIT_RES),
-                        interpolation=cv2.INTER_LINEAR)
-    sk_r = cv2.resize(sk_crop[:, :, 0], (EDIT_RES, EDIT_RES),
-                      interpolation=cv2.INTER_NEAREST)[:, :, None]
+    crop_r = _resize_linear(crop, (EDIT_RES, EDIT_RES))
+    sk_r = _resize_nearest2d(sk_crop[:, :, 0],
+                             (EDIT_RES, EDIT_RES))[:, :, None]
     composed, _mask = pipeline(
         crop_r[None], (sk_r > 0).astype(np.float32)[None])
     edited = np.asarray(composed[0], np.float32)
 
-    edited_back = cv2.resize(edited, (side, side),
-                             interpolation=cv2.INTER_LINEAR)
+    edited_back = _resize_linear(edited, (side, side))
     blend = _feather_mask(side)
     out = image.copy()
     out[y0:y0 + side, x0:x0 + side] = (

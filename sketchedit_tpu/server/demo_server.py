@@ -134,9 +134,12 @@ class DemoApp:
         img = img.convert("RGB")
         w_raw, h_raw = img.size
         scale = min(1.0, MAX_SIZE / max(w_raw, h_raw))
-        # floor at 8: extreme aspect ratios must not round a side to 0
-        w_t = max(8, int(w_raw * scale) // 8 * 8)
-        h_t = max(8, int(h_raw * scale) // 8 * 8)
+        # floor at 16, not 8: extreme aspect ratios must not round a side
+        # to 0, and the 4x4/stride-2 attention patch grid needs >= 4 px at
+        # the H/4 feature level (an 8-px side yields ZERO patches and the
+        # kernel divides by the patch count)
+        w_t = max(16, int(w_raw * scale) // 8 * 8)
+        h_t = max(16, int(h_raw * scale) // 8 * 8)
 
         img_r = img.resize((w_t, h_t))
         sk_r = sketch.convert("L").resize((w_t, h_t))
@@ -191,8 +194,17 @@ class DemoApp:
                       "wb") as fh:
                 fh.write(raw)
             sketch = Image.open(io.BytesIO(raw)).convert("L")
-            image = Image.open(
-                os.path.join(self.static_root, "images", filename))
+            # the client-supplied name must stay inside static/images —
+            # same containment guard as the GET /static/ handler (a
+            # traversal like ../../etc/x would otherwise open and echo
+            # back any PIL-readable file on the host)
+            img_dir = os.path.realpath(
+                os.path.join(self.static_root, "images"))
+            img_path = os.path.realpath(os.path.join(img_dir, filename))
+            if os.path.commonpath([img_path, img_dir]) != img_dir:
+                raise ValueError(f"imgname escapes static/images: "
+                                 f"{filename!r}")
+            image = Image.open(img_path)
             result_name = "result_" + maskname
             self.process_image(image, sketch, result_name)
             # ThreadingHTTPServer runs handlers concurrently: the example

@@ -87,9 +87,16 @@ class BatchingExecutor:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def warmup(self, hw: tuple[int, int] = (256, 256), channels: int = 3):
+    def warmup(self, hw: tuple[int, int] = (256, 256), channels: int = 3,
+               timeout: float | None = None):
         """Pre-compile every reachable bucket size for one spatial shape
-        (including max_batch itself, which _bucket clamps to)."""
+        (including max_batch itself, which _bucket clamps to).
+
+        timeout bounds each bucket's wait; None waits indefinitely —
+        the caller's watchdog (serve: SERVE_WARMUP_WATCHDOG_S) owns the
+        deadline. A hidden per-future cap below the remote-compile
+        worst case (20+ min cold) would abort a legitimately slow
+        compile AND lose its async persistent-cache write."""
         h, w = hw
         sizes = sorted({b for b in _BUCKETS if b <= self.max_batch}
                        | {self.max_batch})
@@ -98,7 +105,7 @@ class BatchingExecutor:
             sk = np.zeros((h, w, 1), np.uint8)
             futs = [self.submit(img, sk) for _ in range(b)]
             for f in futs:
-                f.result(timeout=600)
+                f.result(timeout=timeout)
 
     def submit(self, image: np.ndarray, sketch: np.ndarray) -> Future:
         """image: (H, W, 3); sketch: (H, W, 1). All requests in flight must
@@ -130,22 +137,24 @@ class BatchingExecutor:
                 return []
         items = [first]
         shape = first[0].shape
-        deadline = threading.Event()
-        timer = threading.Timer(self.max_wait, deadline.set)
-        timer.start()
-        try:
-            while len(items) < self.max_batch and not deadline.is_set():
-                try:
-                    nxt = self._q.get(timeout=self.max_wait / 4)
-                except queue.Empty:
-                    continue
-                if nxt[0].shape != shape:
-                    # different size: flush current batch, carry this one
-                    self._pending = nxt
-                    break
-                items.append(nxt)
-        finally:
-            timer.cancel()
+        # plain deadline timestamp, not a threading.Timer: a Timer is an
+        # OS thread created and torn down PER BATCH on the dispatch hot
+        # path — measurable overhead on the small serving hosts where
+        # per-request host CPU is the throughput wall (SERVING_r4)
+        deadline = _time.monotonic() + self.max_wait
+        while len(items) < self.max_batch:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt[0].shape != shape:
+                # different size: flush current batch, carry this one
+                self._pending = nxt
+                break
+            items.append(nxt)
         return items
 
     def _loop(self):

@@ -55,6 +55,22 @@ HIGHER_IS_BETTER = {"psnr": True, "ssim": True, "region_psnr": True,
                     "outside_l1": False}
 
 
+def resolve_val_track(opt) -> str:
+    """'auto' -> mask_iou when the mask has supervision, else psnr.
+
+    With --lambda_mask_rec > 0 the mask is live and EVERY reconstruction
+    metric rewards the zero-mask collapse (inputs==gt in this objective,
+    docs/PARITY.md "Known deltas": soft_mask=0 composites the input back
+    and scores a perfect reconstruction — REAL_TRAIN_r4_psnr_trap.json
+    shows a psnr-tracked run snapshotting the collapse as "best").
+    mask_iou is the tracked metric the collapse cannot game."""
+    track = getattr(opt, "val_track", "auto")
+    if track != "auto":
+        return track
+    return ("mask_iou" if getattr(opt, "lambda_mask_rec", 0) > 0
+            else "psnr")
+
+
 def is_improvement(metric: str, value: float, best: float | None) -> bool:
     if best is None:
         return True

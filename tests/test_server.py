@@ -191,3 +191,54 @@ def test_process_image_extreme_aspect_ratio(app):
     name = app.process_image(img, sketch, "strip.png")
     out = Image.open(os.path.join(app.static_root, "results", name))
     assert out.size == (2000, 12)
+
+
+def test_post_rejects_path_traversal(app, tmp_path):
+    """A client-supplied imgname must not escape static/images: the POST
+    read path previously opened ../../any/readable/image and echoed the
+    edit back — arbitrary-file exfiltration."""
+    secret = tmp_path / "secret.png"
+    Image.new("RGB", (16, 16), (1, 2, 3)).save(secret)
+    sk = Image.new("RGBA", (16, 16), (0, 0, 0, 0))
+    buf = io.BytesIO()
+    sk.save(buf, format="PNG")
+    data = "data:image/png;base64," + base64.b64encode(
+        buf.getvalue()).decode()
+    with pytest.raises(ValueError, match="escapes"):
+        app.handle_post({"imgname": [f"../../{secret.name}"],
+                         "im_idx": ["0"], "mask": [data]})
+    assert os.listdir(os.path.join(app.static_root, "results")) == []
+
+
+def test_process_image_floors_at_16px(app):
+    """Extreme aspect ratios must floor the /8-rounded side at 16 px —
+    an 8-px side yields ZERO 4x4/stride-2 patches at the H/4 feature
+    level and the attention kernel divides by the patch count."""
+    img = Image.fromarray(
+        (np.random.RandomState(2).rand(4, 400, 3) * 255).astype(np.uint8))
+    sketch = Image.new("L", (400, 4), 0)
+    name = app.process_image(img, sketch, "strip.png")
+    out = Image.open(os.path.join(app.static_root, "results", name))
+    assert out.size == (400, 4)       # resized back to the raw size
+
+
+def test_composite_degrades_without_cv2(monkeypatch):
+    """cv2=None (the import guard's host) must fall back to the sketch
+    bbox + PIL resizes, not crash in skin_mask / cv2.resize."""
+    import sketchedit_tpu.server.composite as comp
+    import sketchedit_tpu.server.face_localizer as floc
+    monkeypatch.setattr(comp, "cv2", None)
+    monkeypatch.setattr(floc, "cv2", None)
+    assert floc.detect(np.zeros((64, 64, 3), np.uint8)) == []
+
+    image = np.zeros((96, 96, 3), np.float32)
+    sketch = np.zeros((96, 96, 1), np.float32)
+    sketch[20:31, 24:35] = 1.0
+    box = comp.localize_edit_region(
+        ((image + 1) / 2 * 255).astype(np.uint8), sketch)
+    assert box == (24, 20, 10, 10)    # sketch-bbox fallback, no skin blob
+
+    out = comp.face_crop_edit(FakePipeline(), image, sketch,
+                              detector=floc.detect)
+    assert out.shape == (96, 96, 3)
+    assert np.isfinite(out).all()

@@ -121,3 +121,17 @@ def test_metrics_log_modes(tmp_path):
         metrics_log=str(tmp_path / "m.jsonl"), **base))
     explicit.log({"a": 1})
     assert os.path.exists(tmp_path / "m.jsonl")
+
+
+def test_resolve_val_track_auto():
+    """auto -> mask_iou when the mask has supervision (reconstruction
+    metrics reward the zero-mask collapse when inputs==gt), else psnr;
+    explicit choices pass through."""
+    from sketchedit_tpu.train.validation import resolve_val_track
+    ns = argparse.Namespace
+    assert resolve_val_track(ns(val_track="auto", lambda_mask_rec=0.0)) \
+        == "psnr"
+    assert resolve_val_track(ns(val_track="auto", lambda_mask_rec=1.0)) \
+        == "mask_iou"
+    assert resolve_val_track(ns(val_track="ssim", lambda_mask_rec=1.0)) \
+        == "ssim"
