@@ -50,26 +50,32 @@ def main():
         precision=None,          # backend-default precision (bf16 MXU passes)
         compute_dtype=DTYPE,
     )
-    params = editline2.init_params(jax.random.PRNGKey(0))
-
     rs = np.random.RandomState(0)
     use_u8 = os.environ.get("BENCH_U8", "0") == "1"
-    if use_u8:
-        image = jax.numpy.asarray(
-            (rs.rand(BATCH, SIZE, SIZE, 3) * 255).astype(np.uint8))
-        sketch = jax.numpy.asarray(
-            ((rs.rand(BATCH, SIZE, SIZE, 1) > 0.95) * 255).astype(np.uint8))
-        fn = jax.jit(
-            lambda p, i, s: editline2.edit_u8(p, i, s, config=config))
-    else:
-        image = jax.numpy.asarray(
-            rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
-        sketch = jax.numpy.asarray(
-            (rs.rand(BATCH, SIZE, SIZE, 1) > 0.95).astype(np.float32))
-        fn = jax.jit(lambda p, i, s: editline2.edit(p, i, s, config=config))
-
     mode = os.environ.get("BENCH_MODE", "stream")
     jnp = jax.numpy
+
+    if mode != "train":
+        # inference-only setup: the train branch builds its own state and
+        # batch, so doing these uploads unconditionally would push ~MBs of
+        # unused arrays through the tunnel (~45ms fixed per transfer)
+        # before every train bench
+        params = editline2.init_params(jax.random.PRNGKey(0))
+        if use_u8:
+            image = jax.numpy.asarray(
+                (rs.rand(BATCH, SIZE, SIZE, 3) * 255).astype(np.uint8))
+            sketch = jax.numpy.asarray(
+                ((rs.rand(BATCH, SIZE, SIZE, 1) > 0.95) * 255)
+                .astype(np.uint8))
+            fn = jax.jit(
+                lambda p, i, s: editline2.edit_u8(p, i, s, config=config))
+        else:
+            image = jax.numpy.asarray(
+                rs.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
+            sketch = jax.numpy.asarray(
+                (rs.rand(BATCH, SIZE, SIZE, 1) > 0.95).astype(np.float32))
+            fn = jax.jit(
+                lambda p, i, s: editline2.edit(p, i, s, config=config))
 
     def checksum(x):
         return float(jnp.sum(x.astype(jnp.float32)))

@@ -37,11 +37,18 @@ def rasterize_instances(anns, height, width):
         elif isinstance(seg, dict):         # RLE
             try:
                 from pycocotools import mask as mask_utils
-                m = mask_utils.decode(seg)
-                inst[m > 0] = idx
             except ImportError:
                 print(f"skipping RLE annotation {ann.get('id')}: "
                       "pycocotools unavailable")
+                continue
+            rle = seg
+            if isinstance(seg.get("counts"), list):
+                # crowd annotations (iscrowd=1) ship UNCOMPRESSED RLE
+                # with counts as a plain list; decode() needs the
+                # compressed form
+                rle = mask_utils.frPyObjects(seg, height, width)
+            m = mask_utils.decode(rle)
+            inst[m > 0] = idx
     dtype = np.uint8 if inst.max() < 256 else np.uint16
     return inst.astype(dtype)
 

@@ -2,8 +2,11 @@
 
 Times the raw kernels at the 1024^2-inference attention shape
 (B=1, N=P=16129 patches, D=1536, bf16 streams) and the 2048^2 shape
-unless --skip_2048. Fetches a reduction per iteration (tunnel rule:
-block_until_ready alone does not prove execution).
+unless --skip_2048. Timing is pipelined like bench.py: all iterations
+are dispatched, then ONE reduction of the final output is fetched
+before the clock is read — single-device execution is in-order, so the
+fetch forces every queued iteration (tunnel rule: block_until_ready
+alone does not prove execution; a fetch does).
 """
 
 import argparse

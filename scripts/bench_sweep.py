@@ -61,8 +61,11 @@ def run_one(label, overrides, timeout_s):
 
 def main():
     ap = argparse.ArgumentParser()
+    # default is a SCRATCH name on purpose: pass --out BENCH_SWEEP_r{N}
+    # explicitly to (re)write a round's committed evidence artifact — a
+    # bare run must never clobber the recorded measurement set
     ap.add_argument("--out", default=os.path.join(REPO,
-                                                  "BENCH_SWEEP_r3.json"))
+                                                  "BENCH_SWEEP.json"))
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-config timeout (cold remote compiles are "

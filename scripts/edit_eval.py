@@ -46,6 +46,22 @@ def main():
     ap.add_argument("--which_epoch", default="latest",
                     help="checkpoint tag ('latest', 'best', or an epoch)")
     ap.add_argument("--report", default=None)
+    # architecture passthroughs: these flags change the forward graph
+    # (attention on/off, max vs avg pooling, guide2 zeroing) but NOT the
+    # parameter set, so a mismatch with the trained config loads cleanly
+    # and silently scores a different network. When the checkpoint dir
+    # has an opt.json snapshot it is auto-restored (--load_from_opt_file
+    # semantics: explicit flags still win); pass these explicitly for
+    # fresh-init baselines that have no snapshot.
+    ap.add_argument("--use_cam", action="store_true")
+    ap.add_argument("--joint_train_inp", action="store_true")
+    ap.add_argument("--pool_type", default=None)
+    ap.add_argument("--require_checkpoint", action="store_true",
+                    help="fail instead of falling back to fresh init "
+                         "when a net's checkpoint is missing (harnesses "
+                         "scoring a trained model must set this — the "
+                         "fallback WARNING is easy to swallow in captured "
+                         "output)")
     args = ap.parse_args()
 
     import numpy as np
@@ -61,7 +77,7 @@ def main():
 
     from sketchedit_tpu.options import parse_argv
     # save=False: don't clobber the train run's opt snapshot
-    opt = parse_argv(TrainOptions, [
+    argv = [
         "--name", args.name, "--checkpoints_dir", args.checkpoints_dir,
         "--dataset_mode", "editimage",
         "--train_image_dir", args.image_dir,
@@ -69,9 +85,23 @@ def main():
         str(args.load_size), "--crop_size", str(args.crop_size),
         "--preprocess_mode", "resize_and_crop", "--serial_batches",
         "--not_om", "--compute_dtype", args.compute_dtype,
-        "--which_epoch", args.which_epoch], save=False)
+        "--which_epoch", args.which_epoch]
+    if args.use_cam:
+        argv.append("--use_cam")
+    if args.joint_train_inp:
+        argv.append("--joint_train_inp")
+    if args.pool_type is not None:
+        argv += ["--pool_type", args.pool_type]
+    # score the checkpoint with the architecture it was TRAINED with:
+    # restore the train run's opt.json as defaults (explicit flags above
+    # still override — set_defaults + re-parse)
+    if os.path.exists(os.path.join(args.checkpoints_dir, args.name,
+                                   "opt.json")):
+        argv.append("--load_from_opt_file")
+    opt = parse_argv(TrainOptions, argv, save=False)
 
-    pipe = runner.build_pipeline(opt)
+    pipe = runner.build_pipeline(
+        opt, require_checkpoint=args.require_checkpoint)
     params, config = pipe.params, pipe.config
 
     def oracle_edit(params, image, sketch, region):

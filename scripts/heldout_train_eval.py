@@ -36,6 +36,17 @@ def split_stage(workdir, count, size):
     train_dir = os.path.join(workdir, "imgs")   # run_train's fixed layout
     val_dir = os.path.join(workdir, "val")
     if os.path.isdir(train_dir) and os.listdir(train_dir):
+        # resuming a previous stage: it must be COMPLETE and match the
+        # requested count — a run interrupted mid-link (or re-run with a
+        # different --images) would otherwise silently train on a
+        # partial split and/or die at eval time on an empty val dir
+        n_t = len(os.listdir(train_dir))
+        n_v = (len(os.listdir(val_dir)) if os.path.isdir(val_dir) else 0)
+        if n_v == 0 or n_t + n_v != count:
+            raise SystemExit(
+                f"stale/partial split under {workdir}: {n_t} train + "
+                f"{n_v} val != {count} requested; delete {train_dir}, "
+                f"{val_dir} and {all_dir} to re-stage")
         return train_dir, val_dir
     os.makedirs(all_dir, exist_ok=True)
     # the by-source split must use stage()'s ACTUAL source count: it maps
@@ -91,44 +102,6 @@ def val_curve(metrics_jsonl):
     return rows
 
 
-def render_grid(workdir, val_dir, size, crop, out_png):
-    import numpy as np
-    from PIL import Image
-    from sketchedit_tpu.runner import build_pipeline, enable_persistent_cache
-    from sketchedit_tpu.data import find_dataset_using_name
-    from sketchedit_tpu.options.train_options import TrainOptions
-    from sketchedit_tpu.options import parse_argv
-
-    enable_persistent_cache()
-    opt = parse_argv(TrainOptions, [
-        "--name", "rtd", "--checkpoints_dir", os.path.join(workdir, "ck"),
-        "--dataset_mode", "editimage", "--train_image_dir", val_dir,
-        "--batchSize", "4", "--load_size", str(size),
-        "--crop_size", str(crop), "--preprocess_mode", "resize_and_crop",
-        "--use_cam", "--pool_type", "max", "--joint_train_inp", "--not_om",
-        "--serial_batches", "--compute_dtype", "float32",
-        "--which_epoch", "best"], save=False)
-    opt.isTrain = False
-    pipe = build_pipeline(opt, require_checkpoint=True)
-    ds = find_dataset_using_name("editimage")()
-    opt.isTrain = True
-    ds.initialize(opt, seed=123)
-    rows = []
-    for i in range(4):
-        item = ds[i]
-        img = item["image_u8"].astype(np.float32) / 127.5 - 1.0
-        sketch = item["mask"].astype(np.float32)
-        composed, mask = pipe(img[None], sketch[None])
-        to_u8 = lambda x: ((np.clip(x, -1, 1) + 1) * 127.5).astype(np.uint8)
-        gray3 = lambda m: np.repeat(
-            (np.clip(m, 0, 1) * 255).astype(np.uint8), 3, axis=-1)
-        rows.append(np.concatenate(
-            [item["image_u8"], gray3(sketch), gray3(np.asarray(mask[0])),
-             to_u8(np.asarray(composed[0]))], axis=1))
-    Image.fromarray(np.concatenate(rows, axis=0)).save(out_png)
-    print(f"held-out grid (input | sketch | mask | edit) -> {out_png}")
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/heldout")
@@ -148,9 +121,15 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     train_dir, val_dir = split_stage(args.workdir, args.images, args.size)
     ck = os.path.join(args.workdir, "ck")
+    # the arch flags MUST match run_train's (use_cam/pool_type/
+    # joint_train_inp change the forward graph but not the params — a
+    # mismatch loads cleanly and scores a different network); the fresh
+    # baseline has no opt.json snapshot to auto-restore from, so pass
+    # them explicitly on every leg
     eval_extra = ("--items", str(args.eval_items),
                   "--load_size", str(args.size),
-                  "--crop_size", str(args.crop))
+                  "--crop_size", str(args.crop),
+                  "--use_cam", "--pool_type", "max", "--joint_train_inp")
 
     # fresh-init baseline on the held-out split (edit_eval falls back to
     # fresh init when the checkpoint dir is empty)
@@ -178,16 +157,20 @@ def main():
     curve = val_curve(os.path.join(ck, "rtd", "metrics.jsonl"))
     assert curve, "no validation rows in metrics.jsonl"
     best_rows = [r for r in curve if r.get("best")]
-    assert os.path.exists(os.path.join(ck, "rtd", "best_net_M.npz")), \
-        "best checkpoint was never snapshotted"
+    for net in ("M", "G"):     # both nets the eval path runs; a missing
+        assert os.path.exists(     # one silently falls back to fresh init
+            os.path.join(ck, "rtd", f"best_net_{net}.npz")), \
+            f"best_net_{net} was never snapshotted"
 
     heldout = run_eval("edit_eval.py", ck, "rtd", val_dir,
                        os.path.join(args.workdir, "heldout_e2e.json"),
-                       eval_extra + ("--which_epoch", "best"))
+                       eval_extra + ("--which_epoch", "best",
+                                     "--require_checkpoint"))
     heldout_oracle = run_eval(
         "edit_eval.py", ck, "rtd", val_dir,
         os.path.join(args.workdir, "heldout_oracle.json"),
-        eval_extra + ("--which_epoch", "best", "--oracle_mask"))
+        eval_extra + ("--which_epoch", "best", "--oracle_mask",
+                      "--require_checkpoint"))
     mask_iou = run_eval("mask_eval.py", ck, "rtd", val_dir,
                         os.path.join(args.workdir, "heldout_mask.json"),
                         ("--items", "16", "--load_size", str(args.size),
@@ -195,7 +178,9 @@ def main():
                          "--which_epoch", "best"))
 
     grid_png = os.path.join(args.workdir, "heldout_grid.png")
-    render_grid(args.workdir, val_dir, args.size, args.crop, grid_png)
+    from scripts.real_train_demo import render_grid
+    render_grid(args, args.workdir, grid_png, image_dir=val_dir,
+                which_epoch="best")
 
     ms = sorted(d["ms_per_img"] for d in losses)
     report = {

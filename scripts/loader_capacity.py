@@ -16,7 +16,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# unconditional, not setdefault: the shell exports JAX_PLATFORMS=axon,
+# so setdefault was a dead guard. Nothing in the measured path touches
+# jax today, but if a future loader/pack change does, it must land on
+# CPU, never initialize the tunneled TPU mid-measurement. (If jax ever
+# gets imported here, also call jax.config.update("jax_platforms",
+# "cpu") — the axon plugin re-registers itself over the env var alone.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

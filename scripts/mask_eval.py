@@ -52,7 +52,7 @@ def main():
     from sketchedit_tpu.options import parse_argv
     # save=False: never clobber the training run's opt.txt/opt.json
     # snapshot with these eval-time flags (--load_from_opt_file reads it)
-    opt = parse_argv(TrainOptions, [
+    argv = [
         "--name", args.name, "--checkpoints_dir", args.checkpoints_dir,
         "--dataset_mode", "editimage",
         "--train_image_dir", args.image_dir,
@@ -60,7 +60,14 @@ def main():
         "--crop_size", str(args.crop_size), "--preprocess_mode",
         "resize_and_crop", "--serial_batches",
         "--not_om", "--compute_dtype", "float32",
-        "--which_epoch", args.which_epoch], save=False)
+        "--which_epoch", args.which_epoch]
+    # restore the trained architecture from the run's opt.json snapshot
+    # (netM is insensitive to the netG graph flags, but any netM
+    # hyperparameter must match — explicit flags above still override)
+    if os.path.exists(os.path.join(args.checkpoints_dir, args.name,
+                                   "opt.json")):
+        argv.append("--load_from_opt_file")
+    opt = parse_argv(TrainOptions, argv, save=False)
 
     pm = ckpt.load_network("M", opt)
     if pm is None:

@@ -133,7 +133,13 @@ def run_train(args, workdir, extra, secs, tag):
     return losses, resumed_step, rc
 
 
-def render_grid(args, workdir, out_png):
+def render_grid(args, workdir, out_png, *, image_dir=None,
+                which_epoch="latest"):
+    """4-row (input | sketch | mask | edit) grid PNG for a trained run.
+
+    image_dir defaults to the run's training images; pass a held-out
+    directory + which_epoch='best' to render the held-out exhibit
+    (heldout_train_eval imports this — ONE renderer, no drift)."""
     import numpy as np
     import jax
     from PIL import Image
@@ -149,12 +155,13 @@ def render_grid(args, workdir, out_png):
     opt = parse_argv(TrainOptions, [
         "--name", "rtd", "--checkpoints_dir",
         os.path.join(workdir, "ck"), "--dataset_mode", "editimage",
-        "--train_image_dir", os.path.join(workdir, "imgs"),
+        "--train_image_dir", image_dir or os.path.join(workdir, "imgs"),
         "--batchSize", "4", "--load_size", str(args.size),
         "--crop_size", str(args.crop), "--preprocess_mode",
         "resize_and_crop", "--use_cam", "--pool_type", "max",
         "--joint_train_inp", "--not_om", "--serial_batches",
-        "--compute_dtype", "float32"], save=False)
+        "--compute_dtype", "float32",
+        "--which_epoch", which_epoch], save=False)
     opt.isTrain = False                      # eval-mode pipeline load
     pipe = build_pipeline(opt, require_checkpoint=True)
 

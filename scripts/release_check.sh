@@ -16,10 +16,10 @@ EOF
 )
 rm -rf "$PKG_TARGET"
 
-echo "=== 1/6 unit + parity suite (CPU) ==="
+echo "=== 1/7 unit + parity suite (CPU) ==="
 python -m pytest tests/ -q
 
-echo "=== 2/6 single-chip entry compile check ==="
+echo "=== 2/7 single-chip entry compile check ==="
 python - <<'EOF'
 import __graft_entry__ as ge
 import jax, jax.numpy as jnp
@@ -28,13 +28,13 @@ out = jax.jit(fn)(*args)
 print("entry ok", float(jnp.sum(out[0].astype(jnp.float32))))
 EOF
 
-echo "=== 3/6 multi-chip dry run (8 virtual devices) ==="
+echo "=== 3/7 multi-chip dry run (8 virtual devices) ==="
 python -c "import __graft_entry__ as ge; ge.dryrun_multichip(8)"
 
-echo "=== 4/6 benchmark (real TPU) ==="
+echo "=== 4/7 benchmark (real TPU) ==="
 python bench.py
 
-echo "=== 5/6 release launch script ==="
+echo "=== 5/7 release launch script ==="
 python datasets/stage_reference_assets.py >/dev/null 2>&1 || true
 if [ -d datasets/face_release/images ]; then
     sh test_celeb.sh | tail -1
