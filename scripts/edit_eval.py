@@ -14,6 +14,12 @@ sketch from a region's edges, reconstruct the image from image+sketch):
                (netM bypassed) — the standard inpainting-quality metric,
                independent of netM localization (which collapses to zero
                under the reference-exact objective; docs/PARITY.md).
+  --comparators  also scores NON-LEARNED region fills under the same
+               oracle-mask protocol (cv2 TELEA / Navier-Stokes classical
+               inpainting, iterative blur-diffusion fill, outside-mean
+               fill). These are the honest in-region baselines a trained
+               netG must beat — the fresh-init net is NOT one (its
+               soft_mass ~0.5 blends half the original pixels back).
 
     python scripts/edit_eval.py --checkpoints_dir ck --name celeb \
         --image_dir imgs --items 32 [--oracle_mask] [--report out.json]
@@ -56,6 +62,10 @@ def main():
     ap.add_argument("--use_cam", action="store_true")
     ap.add_argument("--joint_train_inp", action="store_true")
     ap.add_argument("--pool_type", default=None)
+    ap.add_argument("--comparators", default=None,
+                    help="comma list of non-learned region-fill baselines "
+                         "to score alongside (telea,ns,blur,mean); "
+                         "'all' = every available one")
     ap.add_argument("--require_checkpoint", action="store_true",
                     help="fail instead of falling back to fresh init "
                          "when a net's checkpoint is missing (harnesses "
@@ -131,6 +141,65 @@ def main():
             "soft_mass": jnp.mean(soft.astype(jnp.float32), axis=(1, 2, 3)),
         }
 
+    # ---- non-learned comparators (same oracle-mask protocol) ----------
+    def _box3(a):           # 3x3 box blur, edge-replicated, pure numpy
+        p = np.pad(a, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        return (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:] +
+                p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:] +
+                p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]) / 9.0
+
+    def classical_fill(name, img_u8, reg_hw):
+        """Fill `reg_hw` (H,W bool) of img_u8 from the outside pixels.
+        Returns float32 (H,W,3) in [-1,1], outside pixels untouched."""
+        reg3 = reg_hw[:, :, None]
+        if name in ("telea", "ns"):
+            import cv2
+            flag = cv2.INPAINT_TELEA if name == "telea" else cv2.INPAINT_NS
+            out = cv2.inpaint(np.ascontiguousarray(img_u8),
+                              reg_hw.astype(np.uint8), 5, flag)
+            filled = out.astype(np.float32) / 127.5 - 1.0
+        else:
+            img = img_u8.astype(np.float32) / 127.5 - 1.0
+            if reg_hw.all():                 # degenerate: nothing known
+                mean = np.zeros(3, np.float32)
+            else:
+                mean = np.stack([img[..., c][~reg_hw].mean()
+                                 for c in range(3)])
+            filled = np.where(reg3, mean, img).astype(np.float32)
+            if name == "blur":
+                # iterative diffusion: blur, re-impose known pixels;
+                # T ~ image diagonal so information crosses the hole
+                for _ in range(max(32, img.shape[0] // 4)):
+                    filled = np.where(reg3, _box3(filled), filled)
+        img = img_u8.astype(np.float32) / 127.5 - 1.0
+        return np.where(reg3, filled, img).astype(np.float32)
+
+    comp_names = []
+    if args.comparators:
+        comp_names = (["telea", "ns", "blur", "mean"]
+                      if args.comparators == "all"
+                      else [c for c in args.comparators.split(",") if c])
+        bad = set(comp_names) - {"telea", "ns", "blur", "mean"}
+        if bad:
+            raise SystemExit(f"unknown comparators: {sorted(bad)}")
+        if {"telea", "ns"} & set(comp_names):
+            try:
+                import cv2  # noqa: F401
+            except ImportError:
+                print("WARNING: cv2 unavailable — dropping telea/ns")
+                comp_names = [c for c in comp_names
+                              if c not in ("telea", "ns")]
+
+    @jax.jit
+    def score_composed(composed, image, region):
+        composed = composed.astype(jnp.float32)
+        return {
+            "psnr": metrics.psnr(composed, image),
+            "ssim": metrics.ssim(composed, image),
+            "region_psnr": metrics.masked_psnr(composed, image, region),
+            "region_l1": metrics.masked_l1(composed, image, region),
+        }
+
     ds = find_dataset_using_name("editimage")()
     ds.initialize(opt, seed=args.seed)
     n_items = min(args.items, len(ds))
@@ -138,6 +207,7 @@ def main():
         raise SystemExit(f"no images under {args.image_dir}")
 
     rows = []
+    comp_rows = {c: [] for c in comp_names}
     for start in range(0, n_items, args.batch):
         idx = list(range(start, min(start + args.batch, n_items)))
         items = [ds[i % len(ds)] for i in idx]
@@ -157,12 +227,31 @@ def main():
         print(f"items {idx[0]}..{idx[-1]}: " + " ".join(
             f"{k}={out[k].mean():.3f}" for k in
             ("psnr", "ssim", "region_psnr", "region_l1", "outside_l1")))
+        for c in comp_names:
+            comp_np = np.stack([classical_fill(
+                c, items[j]["image_u8"],
+                np.asarray(items[j]["region_gt"][:, :, 0], bool))
+                for j in range(len(items))])
+            cout = score_composed(jnp.asarray(comp_np), image, region)
+            cout = {k: np.asarray(v)[:len(idx)] for k, v in cout.items()}
+            for j in range(len(idx)):
+                comp_rows[c].append(
+                    {k: float(v[j]) for k, v in cout.items()})
 
     mean = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
     result = {"mode": "oracle_mask" if args.oracle_mask else "end_to_end",
               "items": len(rows), "crop_size": args.crop_size,
               "mean": mean, "per_item": rows}
+    if comp_names:
+        result["comparators"] = {
+            c: {"mean": {k: float(np.mean([r[k] for r in comp_rows[c]]))
+                         for k in comp_rows[c][0]},
+                "per_item": comp_rows[c]}
+            for c in comp_names}
     print("MEAN:", json.dumps(mean))
+    for c in comp_names:
+        print(f"COMPARATOR {c}:",
+              json.dumps(result["comparators"][c]["mean"]))
     if args.report:
         with open(args.report, "w") as f:
             json.dump(result, f, indent=1)

@@ -166,11 +166,15 @@ def main():
                        os.path.join(args.workdir, "heldout_e2e.json"),
                        eval_extra + ("--which_epoch", "best",
                                      "--require_checkpoint"))
+    # the oracle leg also scores the NON-LEARNED fills (cv2 TELEA/NS,
+    # blur-diffusion, outside-mean) under the identical protocol — the
+    # honest in-region baselines a trained netG must beat (the fresh-init
+    # net is not one: its soft_mass ~0.5 blends the original back in)
     heldout_oracle = run_eval(
         "edit_eval.py", ck, "rtd", val_dir,
         os.path.join(args.workdir, "heldout_oracle.json"),
         eval_extra + ("--which_epoch", "best", "--oracle_mask",
-                      "--require_checkpoint"))
+                      "--require_checkpoint", "--comparators", "all"))
     mask_iou = run_eval("mask_eval.py", ck, "rtd", val_dir,
                         os.path.join(args.workdir, "heldout_mask.json"),
                         ("--items", "16", "--load_size", str(args.size),
@@ -201,9 +205,26 @@ def main():
                                 "items": baseline["items"]},
         "heldout_e2e": {"mean": heldout["mean"], "items": heldout["items"]},
         "heldout_oracle_mask": {"mean": heldout_oracle["mean"]},
+        "classical_comparators": {
+            c: d["mean"]
+            for c, d in heldout_oracle.get("comparators", {}).items()},
         "heldout_mask_eval": mask_iou,
         "grid_png": grid_png,
     }
+    comps = report["classical_comparators"]
+    if comps:
+        best_c = max(comps, key=lambda c: comps[c]["region_psnr"])
+        report["in_region_vs_classical"] = {
+            "best_classical": best_c,
+            "classical_region_psnr": comps[best_c]["region_psnr"],
+            "classical_region_l1": comps[best_c]["region_l1"],
+            "trained_region_psnr":
+                heldout_oracle["mean"]["region_psnr"],
+            "trained_region_l1": heldout_oracle["mean"]["region_l1"],
+            "trained_beats_classical": bool(
+                heldout_oracle["mean"]["region_psnr"]
+                > comps[best_c]["region_psnr"]),
+        }
     blob = json.dumps(report, indent=1)
     print(blob[:2000])
     if args.report:

@@ -273,6 +273,13 @@ def main():
                 raw_body = None
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length < 0:
+                        # a negative length would make rfile.read(-1)
+                        # buffer the socket until EOF, bypassing MAX_BODY
+                        # and pinning a handler thread
+                        _count("client_error")
+                        self.send_error(400, "bad Content-Length")
+                        return
                     if length > MAX_BODY:
                         _count("client_error")
                         self.send_error(413, "request body too large")

@@ -85,7 +85,12 @@ def pad_to_grid(image, sketch, multiple: int = 8):
     zero sketch pad adds no strokes, so netM stays quiet in the pad strip.
     """
     H, W = image.shape[1:3]
-    ph, pw = (-H) % multiple, (-W) % multiple
+    # floor each side at 16: the 4x4/stride-2 attention patch grid at H/4
+    # yields ZERO patches below 16 px and the net crashes with an opaque
+    # shape error (the demo path floors at 16 for the same reason)
+    th = max(16, H + (-H) % multiple)
+    tw = max(16, W + (-W) % multiple)
+    ph, pw = th - H, tw - W
     if not (ph or pw):
         return image, sketch, (H, W)
     image = jnp.pad(image, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
@@ -98,8 +103,10 @@ def edit(params, image, sketch, *, config: EditLine2Config = EditLine2Config()):
 
     image: (B, H, W, 3) in [-1, 1]; sketch: (B, H, W, 1) in {0, 1}.
 
-    Any H/W is accepted: non-/8 sizes are edge-padded to the next /8 and
-    the outputs cropped back (static shapes — one compile per size). The
+    Any H/W >= 1 is accepted: non-/8 sizes are edge-padded to the next /8
+    (floored at 16 px per side — below that the attention patch grid is
+    empty) and the outputs cropped back (static shapes — one compile per
+    size). The
     network itself needs /8 (two stride-2 stages, x2 decoders, and the
     4x4/stride-2 attention patch grid at H/4 must tile evenly); the
     REFERENCE hard-crashes on anything else — its attention fold emits an

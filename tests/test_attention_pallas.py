@@ -180,7 +180,10 @@ def test_attention_core_dsplit_matches_dense():
     from sketchedit_tpu.ops.attention_pallas import (
         _attention_core_dsplit_raw)
     rs = np.random.RandomState(1)
-    B, N, P, D = 2, 130, 150, 70     # unaligned everywhere
+    # D=160 > Dh=128 so BOTH halves of the D-split carry real (nonzero)
+    # values — at D<=128 the second half is all padding and a mis-mapped
+    # half-1 out-block index would pass undetected
+    B, N, P, D = 2, 130, 150, 160    # unaligned everywhere
     Q = rs.randn(B, N, D).astype(np.float32)
     K = rs.randn(B, P, D).astype(np.float32)
     V = rs.randn(B, P, D).astype(np.float32)
