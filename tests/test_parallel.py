@@ -155,6 +155,54 @@ def test_netg_sharded_attention_matches_xla():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_netg_sharded_attention_grad_matches_xla():
+    """Gradients THROUGH the patch-sharded attention (the shard_map
+    transpose) must equal the dense-xla path: grad of a G reconstruction
+    loss wrt every G param <1e-3 — the model-parallel-training analog for
+    resolutions where the batch axis cannot be split (VERDICT r4 item 5).
+    """
+    from sketchedit_tpu.models import deepfill_c2
+    from sketchedit_tpu.models.deepfill_c2 import DeepFillConfig
+    from sketchedit_tpu.parallel.sharded_attention import patch_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    rs = np.random.RandomState(21)
+    B, H = 1, 64          # feature grid 16 -> P = 49, pads to the mesh
+    params = deepfill_c2.init_params(jax.random.PRNGKey(4))
+    x = jnp.asarray(rs.uniform(-1, 1, (B, H, H, 3)).astype(np.float32))
+    m = jnp.asarray((rs.rand(B, H, H, 1) > 0.7).astype(np.float32))
+    gt = jnp.asarray(rs.uniform(-1, 1, (B, H, H, 3)).astype(np.float32))
+
+    def loss(p, cfg):
+        s1, s2 = deepfill_c2.apply(
+            p, x, x, m, m, config=cfg,
+            precision=jax.lax.Precision.HIGHEST)
+        return (jnp.mean(jnp.abs(s2 - gt))
+                + 0.5 * jnp.mean(jnp.abs(s1 - gt)))
+
+    g_x = jax.jit(jax.grad(lambda p: loss(
+        p, DeepFillConfig(attention_impl="xla"))))(params)
+    mesh = patch_mesh(8)
+    with mesh:
+        g_sh = jax.jit(jax.grad(lambda p: loss(
+            p, DeepFillConfig(attention_impl="sharded",
+                              attention_mesh=mesh))))(params)
+
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_sh = jax.tree_util.tree_leaves(g_sh)
+    assert len(flat_x) == len(flat_sh) > 0
+    for (path, a), b in zip(flat_x, flat_sh):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+    # the loss must actually reach the attention layer's params (a zero
+    # grad everywhere would pass allclose vacuously)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in flat_sh)
+    assert total > 0
+
+
 def test_dp_train_step_matches_single_device():
     """SPMD correctness: the data-parallel train step (batch sharded over
     the mesh, params replicated, gradients psum-reduced by XLA) must equal
