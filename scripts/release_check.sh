@@ -3,18 +3,34 @@
 set -e -o pipefail    # pipes through tail/tee must not mask failures
 cd "$(dirname "$0")/.."
 
-echo "=== 0/7 packaging: install into a scratch target, import from a clean interpreter ==="
-PKG_TARGET=$(mktemp -d)
-pip install --quiet --no-deps --no-build-isolation --target "$PKG_TARGET" .
-(cd /tmp && PYTHONPATH="$PKG_TARGET" JAX_PLATFORMS=cpu python - <<'EOF'
-import sketchedit_tpu
+echo "=== 0/7 packaging: wheel -> fresh venv -> console-script smoke ==="
+# The clean-environment reproduction leg (the Dockerfile takes the same
+# wheel-install path but cannot be built here: zero egress). The wheel
+# installs into a FRESH venv with --no-deps, so what is tested is our
+# packaging: metadata, package data, console entry points. Dependencies
+# (jax/numpy/pillow) come from the host interpreter's site-packages via
+# PYTHONPATH — this image reaches no package index; the venv's own tree
+# contains ONLY our wheel, so a missing dependency declaration or a
+# stale-file import would still fail loudly.
+PKG_SCRATCH=$(mktemp -d)
+pip wheel --quiet --no-deps --no-build-isolation -w "$PKG_SCRATCH" .
+python -m venv "$PKG_SCRATCH/venv"
+"$PKG_SCRATCH/venv/bin/pip" install --quiet --no-deps "$PKG_SCRATCH"/sketchedit_tpu-*.whl
+HOST_SP=$(python -c 'import numpy, os; print(os.path.dirname(os.path.dirname(numpy.__file__)))')
+(cd /tmp && JAX_PLATFORMS=cpu PYTHONPATH="$HOST_SP" \
+    "$PKG_SCRATCH/venv/bin/python" - <<'EOF'
+import sketchedit_tpu, sys
+assert "venv" in sketchedit_tpu.__file__, sketchedit_tpu.__file__
 from sketchedit_tpu.cli import test_main, train_main, serve_main, demo_main
 from sketchedit_tpu.runner import build_pipeline
 from sketchedit_tpu.models import editline2
-print("package import ok:", sketchedit_tpu.__name__)
+print("venv package import ok:", sketchedit_tpu.__file__)
 EOF
 )
-rm -rf "$PKG_TARGET"
+(cd /tmp && JAX_PLATFORMS=cpu PYTHONPATH="$HOST_SP" \
+    "$PKG_SCRATCH/venv/bin/sketchedit-test" --help >/dev/null \
+    && echo "console script ok: sketchedit-test --help")
+rm -rf "$PKG_SCRATCH"
 
 echo "=== 1/7 unit + parity suite (CPU) ==="
 python -m pytest tests/ -q

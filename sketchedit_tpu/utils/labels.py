@@ -1,6 +1,12 @@
 """Semantic-label visualization utilities (reference util/util.py:233-293:
-labelcolormap / Colorize / tensor2label — SPADE legacy kept for surface
-completeness; unused on the edit path)."""
+labelcolormap / Colorize / tensor2label).
+
+PARITY-ONLY DEAD CODE, by design: the reference carries these SPADE-era
+helpers with no caller on its edit path either; they are kept solely so a
+user porting tooling that imports them finds the same surface (C11
+inventory row). No runtime path in this repo consumes this module — its
+only coverage is tests/test_io.py pinning the palette/colorize math.
+If the reference surface ever drops them, delete this file."""
 
 from __future__ import annotations
 
