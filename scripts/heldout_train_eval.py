@@ -115,6 +115,11 @@ def main():
     ap.add_argument("--train_secs", type=float, default=3600)
     ap.add_argument("--val_epoch_freq", type=int, default=5)
     ap.add_argument("--eval_items", type=int, default=48)
+    ap.add_argument("--decode_cache_mb", type=int, default=None,
+                    help="override the loader's decoded-frame cache "
+                         "budget (data/editimage.py default 512MB is "
+                         "under a 512^2-crop run's working set: ~576 "
+                         "frames at 576^2 is ~575MB)")
     ap.add_argument("--report", default=None)
     args = ap.parse_args()
 
@@ -147,12 +152,13 @@ def main():
     # model matures to iou 0.65 / psnr ~19. mask_iou is the one tracked
     # metric the collapse cannot game.
     track = "mask_iou" if args.lambda_mask_rec > 0 else "psnr"
-    losses, _, rc = run_train(
-        args, args.workdir,
-        ["--val_image_dir", val_dir,
-         "--val_epoch_freq", str(args.val_epoch_freq),
-         "--val_items", "8", "--val_track", track],
-        args.train_secs, "train")
+    train_extra = ["--val_image_dir", val_dir,
+                   "--val_epoch_freq", str(args.val_epoch_freq),
+                   "--val_items", "8", "--val_track", track]
+    if args.decode_cache_mb is not None:
+        train_extra += ["--decode_cache_mb", str(args.decode_cache_mb)]
+    losses, _, rc = run_train(args, args.workdir, train_extra,
+                              args.train_secs, "train")
     assert losses, "no loss lines parsed"
     curve = val_curve(os.path.join(ck, "rtd", "metrics.jsonl"))
     assert curve, "no validation rows in metrics.jsonl"
