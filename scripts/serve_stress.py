@@ -133,6 +133,16 @@ def main():
         t.join()
     wall = time.time() - t_start
 
+    # per-stage host-time breakdown from the live server (raw path):
+    # wait_ms is device+batching; everything else is handler host CPU
+    server_stats = None
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{args.port}/stats", timeout=30) as r:
+            server_stats = json.load(r)
+    except Exception as e:
+        print(f"(/stats unavailable: {e})")
+
     try:
         if len(lat) >= 2:       # statistics.quantiles needs 2+ points
             lat.sort()
@@ -156,6 +166,7 @@ def main():
                     "min": round(lat[0] * 1000),
                     "max": round(lat[-1] * 1000),
                 },
+                "server_stats": server_stats,
             }
         else:
             result = {"error": "too few successful requests",

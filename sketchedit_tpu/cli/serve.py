@@ -133,6 +133,23 @@ def main():
     http_counts = {"ok": 0, "client_error": 0, "server_error": 0}
     http_lock = threading.Lock()
 
+    # per-stage host-time accounting for the raw (octet-stream) path —
+    # GET /stats reports it so "where do the ms/frame go" is observable
+    # on a live loaded server instead of guessed (SERVING_r4 left a 26x
+    # chip-vs-served gap unexplained past the codec). wait_ms includes
+    # the device step + batching delay; every other stage is host CPU on
+    # the handler thread.
+    raw_lock = threading.Lock()
+    raw_stages = {"bodies": 0, "frames": 0, "read_ms": 0.0,
+                  "decode_ms": 0.0, "letterbox_ms": 0.0, "submit_ms": 0.0,
+                  "wait_ms": 0.0, "to_u8_ms": 0.0, "encode_ms": 0.0,
+                  "write_ms": 0.0}
+
+    def _racc(**kw):
+        with raw_lock:
+            for k, v in kw.items():
+                raw_stages[k] += v
+
     def _count(kind):
         with http_lock:
             http_counts[kind] += 1
@@ -156,11 +173,26 @@ def main():
             elif self.path == "/stats":
                 with http_lock:
                     counts = dict(http_counts)
+                with raw_lock:
+                    rs = dict(raw_stages)
+                nf = max(rs["frames"], 1)
+                raw_report = {
+                    "totals": {k: (round(v, 1) if isinstance(v, float)
+                                   else v) for k, v in rs.items()},
+                    "per_frame_ms": {
+                        k[:-3]: round(v / nf, 3) for k, v in rs.items()
+                        if k.endswith("_ms")},
+                    "host_ms_per_frame_excl_wait": round(
+                        sum(v for k, v in rs.items()
+                            if k.endswith("_ms") and k != "wait_ms") / nf,
+                        3),
+                }
                 body = json.dumps({
                     "uptime_s": round(time.time() - started_at, 1),
                     "edit_size": edit_size,
                     "max_batch": opt.max_batch,
                     "http": counts,
+                    "raw_path_stages": raw_report,
                     "executor": executor.stats(),
                 }).encode()
                 self.send_response(200)
@@ -208,7 +240,7 @@ def main():
             self.wfile.write(body)
             _count("ok")
 
-        def _edit_raw(self, body):
+        def _edit_raw(self, body, read_ms=0.0):
             """application/octet-stream: rawproto in/out — no image codec
             on either side (the machine-to-machine throughput path).
 
@@ -220,26 +252,38 @@ def main():
             small host (SERVING_r4: executor already coalesced to b32
             while rps stalled at ~29; the per-request host work was the
             wall, not the chip)."""
+            t0 = time.perf_counter()
             try:
                 frames = rawproto.decode_frames(body)
             except rawproto.RawProtoError as e:
                 _count("client_error")
                 self.send_error(400, f"bad raw payload: {e}")
                 return
+            t1 = time.perf_counter()
             pending = []
+            lb_ms = sub_ms = 0.0
             for img, sk in frames:
                 h, w = img.shape[:2]
                 if (h, w) == (edit_size, edit_size):
                     img_u8, sk_u8, content_wh = img, sk, (w, h)
                 else:
+                    tl = time.perf_counter()
                     img_u8, sk_u8, content_wh = letterbox_fit(
                         Image.fromarray(img), Image.fromarray(sk[:, :, 0]),
                         edit_size)
+                    lb_ms += (time.perf_counter() - tl) * 1e3
+                ts = time.perf_counter()
                 pending.append((executor.submit(img_u8, sk_u8),
                                 content_wh, (w, h)))
+                sub_ms += (time.perf_counter() - ts) * 1e3
+            wait_ms = u8_ms = enc_ms = 0.0
             parts = []
             for fut, content_wh, out_wh in pending:
-                composed, mask = self._to_u8(*fut.result(timeout=120))
+                tw = time.perf_counter()
+                composed, mask = fut.result(timeout=120)
+                tu = time.perf_counter()
+                composed, mask = self._to_u8(composed, mask)
+                te = time.perf_counter()
                 if content_wh == out_wh == (edit_size, edit_size):
                     # canvas-native frame: zero-codec, zero-resize
                     parts.append(rawproto.encode(composed, mask))
@@ -249,12 +293,22 @@ def main():
                     parts.append(rawproto.encode(
                         np.asarray(out_img.convert("RGB"), np.uint8),
                         np.asarray(out_mask.convert("L"), np.uint8)))
+                now = time.perf_counter()
+                wait_ms += (tu - tw) * 1e3
+                u8_ms += (te - tu) * 1e3
+                enc_ms += (now - te) * 1e3
             resp = b"".join(parts)
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(resp)))
             self.end_headers()
+            t2 = time.perf_counter()
             self.wfile.write(resp)
+            t3 = time.perf_counter()
+            _racc(bodies=1, frames=len(frames), read_ms=read_ms,
+                  decode_ms=(t1 - t0) * 1e3, letterbox_ms=lb_ms,
+                  submit_ms=sub_ms, wait_ms=wait_ms, to_u8_ms=u8_ms,
+                  encode_ms=enc_ms, write_ms=(t3 - t2) * 1e3)
             _count("ok")
 
         def do_POST(self):
@@ -287,7 +341,9 @@ def main():
                     ctype = (self.headers.get("Content-Type") or
                              "").split(";")[0].strip().lower()
                     if ctype == "application/octet-stream":
+                        tr = time.perf_counter()
                         raw_body = self.rfile.read(length)
+                        read_ms = (time.perf_counter() - tr) * 1e3
                     else:
                         payload = json.loads(self.rfile.read(length))
                         img = Image.open(io.BytesIO(
@@ -306,7 +362,7 @@ def main():
                              f"{str(e)[:160]}")
                     return
                 if raw_body is not None:
-                    self._edit_raw(raw_body)
+                    self._edit_raw(raw_body, read_ms)
                     return
                 w0, h0 = img.size
                 # aspect-preserving letterbox onto the shared square

@@ -84,6 +84,12 @@ class BatchingExecutor:
         self._batch_errors = 0
         self._batch_hist: dict[int, int] = {}
         self._dispatch_ms = _RingStat(512)
+        # host-side batch assembly (np.stack memcpy) and future scatter,
+        # separated from the device step so /stats can attribute the
+        # dispatcher thread's host CPU (1-core hosts: this contends with
+        # every handler thread)
+        self._assemble_ms = _RingStat(512)
+        self._scatter_ms = _RingStat(512)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -169,18 +175,14 @@ class BatchingExecutor:
                 # never kill the dispatcher thread
                 n = len(items)
                 b = _bucket(n, self.max_batch)
+                ta = _time.perf_counter()
                 images = np.stack([it[0] for it in items]
                                   + [items[-1][0]] * (b - n))
                 sketches = np.stack([it[1] for it in items]
                                     + [items[-1][1]] * (b - n))
                 t0 = _time.perf_counter()
                 composed, mask = self.pipeline(images, sketches)
-                dt_ms = (_time.perf_counter() - t0) * 1000.0
-                with self._stats_lock:
-                    self._served += n
-                    self._batches += 1
-                    self._batch_hist[b] = self._batch_hist.get(b, 0) + 1
-                    self._dispatch_ms.add(dt_ms)
+                t1 = _time.perf_counter()
                 for i, (_, _, fut) in enumerate(items):
                     try:
                         # returns False iff the caller cancelled; afterwards
@@ -190,6 +192,14 @@ class BatchingExecutor:
                             fut.set_result((composed[i], mask[i]))
                     except Exception:   # already-resolved future: only its
                         pass            # own result is lost, not the batch's
+                t2 = _time.perf_counter()
+                with self._stats_lock:
+                    self._served += n
+                    self._batches += 1
+                    self._batch_hist[b] = self._batch_hist.get(b, 0) + 1
+                    self._dispatch_ms.add((t1 - t0) * 1000.0)
+                    self._assemble_ms.add((t0 - ta) * 1000.0)
+                    self._scatter_ms.add((t2 - t1) * 1000.0)
             except Exception as e:
                 with self._stats_lock:
                     self._batch_errors += 1
@@ -207,6 +217,8 @@ class BatchingExecutor:
             served, batches = self._served, self._batches
             errors = self._batch_errors
             pct = self._dispatch_ms.percentiles()
+            asm = self._assemble_ms.percentiles()
+            sct = self._scatter_ms.percentiles()
         return {
             "requests_served": served,
             "batches_dispatched": batches,
@@ -214,6 +226,8 @@ class BatchingExecutor:
             "batch_size_histogram": hist,
             "mean_batch_fill": round(served / batches, 2) if batches else None,
             "dispatch_ms": pct,          # device step incl. host<->device
+            "assemble_ms": asm,          # np.stack batch build (host memcpy)
+            "scatter_ms": sct,           # future fan-out (host)
             "queue_depth": self._q.qsize(),
         }
 
