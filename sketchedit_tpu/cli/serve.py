@@ -237,8 +237,12 @@ def main():
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
-            self.wfile.write(body)
+            # count BEFORE the body write: the response is fully formed
+            # here, and a client that has read its body must observe the
+            # counter on an immediate /stats (counting after the write
+            # races exactly that read — observed on a loaded host)
             _count("ok")
+            self.wfile.write(body)
 
         def _edit_raw(self, body, read_ms=0.0):
             """application/octet-stream: rawproto in/out — no image codec
@@ -302,6 +306,10 @@ def main():
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(resp)))
             self.end_headers()
+            # count before the body write (see _finish_edit); the stage
+            # ledger still lands after it — write_ms needs the write —
+            # so ledger readers poll rather than race one request
+            _count("ok")
             t2 = time.perf_counter()
             self.wfile.write(resp)
             t3 = time.perf_counter()
@@ -309,7 +317,6 @@ def main():
                   decode_ms=(t1 - t0) * 1e3, letterbox_ms=lb_ms,
                   submit_ms=sub_ms, wait_ms=wait_ms, to_u8_ms=u8_ms,
                   encode_ms=enc_ms, write_ms=(t3 - t2) * 1e3)
-            _count("ok")
 
         def do_POST(self):
             if self.path != "/edit":

@@ -285,6 +285,31 @@ def test_healthz_and_stats(api_server):
     assert sum(ex["batch_size_histogram"].values()) \
         == ex["batches_dispatched"]
     assert ex["dispatch_ms"]["p50"] is not None
+    # host-time attribution (SERVING_r5): the executor separates batch
+    # assembly and scatter from the device dispatch...
+    assert ex["assemble_ms"]["p50"] is not None
+    assert ex["scatter_ms"]["p50"] is not None
+    # ...and the raw path keeps a per-stage ledger. A raw POST here makes
+    # the counters provably nonzero regardless of test order.
+    from sketchedit_tpu.server import rawproto
+    status, _ = _post_raw(api_server, rawproto.encode(img, sk))
+    assert status == 200
+    # the ledger lands just AFTER the response write (write_ms needs the
+    # write), so poll briefly instead of racing the handler thread
+    for _ in range(50):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{api_server}/stats", timeout=30) as r:
+            rp = json.loads(r.read())["raw_path_stages"]
+        if rp["totals"]["bodies"] >= 1:
+            break
+        time.sleep(0.2)
+    assert rp["totals"]["bodies"] >= 1
+    assert rp["totals"]["frames"] >= rp["totals"]["bodies"]
+    assert rp["per_frame_ms"]["wait"] > 0
+    assert set(rp["per_frame_ms"]) == {
+        "read", "decode", "letterbox", "submit", "wait", "to_u8",
+        "encode", "write"}
+    assert rp["host_ms_per_frame_excl_wait"] >= 0.0
     # unknown GET path stays 404
     try:
         with urllib.request.urlopen(
