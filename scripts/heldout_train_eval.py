@@ -88,6 +88,23 @@ def run_eval(script, ck, name, image_dir, out_json, extra=()):
         return json.load(f)
 
 
+def parse_losses_from_log(path):
+    """Recover run_train's losses list from a prior run's sidecar log
+    (--eval_only: the training leg already happened, maybe in a process
+    that later wedged)."""
+    import json as _json
+    from scripts.real_train_demo import LOSS_RE
+    losses = []
+    with open(path) as f:
+        for line in f:
+            m = LOSS_RE.search(line)
+            if m:
+                losses.append({
+                    "epoch": int(m.group(1)), "iter": int(m.group(2)),
+                    "ms_per_img": int(m.group(3))})
+    return losses
+
+
 def val_curve(metrics_jsonl):
     """Validation rows (kind == 'val') from the training metrics log."""
     rows = []
@@ -121,6 +138,13 @@ def main():
                          "under a 512^2-crop run's working set: ~576 "
                          "frames at 576^2 is ~575MB)")
     ap.add_argument("--report", default=None)
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training: score the workdir's existing "
+                         "best checkpoint (ck/rtd/best_net_*) against the "
+                         "existing split. For runs whose train leg died "
+                         "irrecoverably (e.g. a wedged tunnel session) "
+                         "after best-checkpoint snapshots landed — the "
+                         "val curve is read from metrics.jsonl as usual")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -152,13 +176,17 @@ def main():
     # model matures to iou 0.65 / psnr ~19. mask_iou is the one tracked
     # metric the collapse cannot game.
     track = "mask_iou" if args.lambda_mask_rec > 0 else "psnr"
-    train_extra = ["--val_image_dir", val_dir,
-                   "--val_epoch_freq", str(args.val_epoch_freq),
-                   "--val_items", "8", "--val_track", track]
-    if args.decode_cache_mb is not None:
-        train_extra += ["--decode_cache_mb", str(args.decode_cache_mb)]
-    losses, _, rc = run_train(args, args.workdir, train_extra,
-                              args.train_secs, "train")
+    if args.eval_only:
+        losses, rc = parse_losses_from_log(
+            os.path.join(args.workdir, "train_full.log")), "eval_only"
+    else:
+        train_extra = ["--val_image_dir", val_dir,
+                       "--val_epoch_freq", str(args.val_epoch_freq),
+                       "--val_items", "8", "--val_track", track]
+        if args.decode_cache_mb is not None:
+            train_extra += ["--decode_cache_mb", str(args.decode_cache_mb)]
+        losses, _, rc = run_train(args, args.workdir, train_extra,
+                                  args.train_secs, "train")
     assert losses, "no loss lines parsed"
     curve = val_curve(os.path.join(ck, "rtd", "metrics.jsonl"))
     assert curve, "no validation rows in metrics.jsonl"
