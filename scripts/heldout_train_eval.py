@@ -138,6 +138,10 @@ def main():
                          "under a 512^2-crop run's working set: ~576 "
                          "frames at 576^2 is ~575MB)")
     ap.add_argument("--report", default=None)
+    ap.add_argument("--train_flag", action="append", default=[],
+                    help="extra flag(s) passed through to train.py "
+                         "(repeatable), e.g. --train_flag=--no_gan_loss "
+                         "for the L1-only objective ablation")
     ap.add_argument("--eval_only", action="store_true",
                     help="skip training: score the workdir's existing "
                          "best checkpoint (ck/rtd/best_net_*) against the "
@@ -185,6 +189,7 @@ def main():
                        "--val_items", "8", "--val_track", track]
         if args.decode_cache_mb is not None:
             train_extra += ["--decode_cache_mb", str(args.decode_cache_mb)]
+        train_extra += args.train_flag
         losses, _, rc = run_train(args, args.workdir, train_extra,
                                   args.train_secs, "train")
     assert losses, "no loss lines parsed"
@@ -226,6 +231,7 @@ def main():
                 f"photos unseen in training; BEST checkpoint (val {track}) "
                 "scored on the held-out split only",
         "val_track": track,
+        "train_flags": args.train_flag,
         "staged_images": args.images, "batch": args.batch,
         "crop": args.crop, "compute_dtype": args.compute_dtype,
         "lambda_mask_rec": args.lambda_mask_rec,
